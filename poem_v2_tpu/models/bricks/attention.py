@@ -1,0 +1,96 @@
+"""Transformer attention bricks (flax).
+
+First-party equivalents of the HF-BERT pieces the reference composes its
+decoder from (lib/models/bricks/pt_metro_transformer.py:43-91 uses
+``BertAttention``, ``BertIntermediate``, ``BertOutput`` with a 256-wide,
+4-head config from config/backbone/bert_cfg.json). Post-LayerNorm
+residual blocks, gelu FFN. Attention runs as batched einsums so XLA maps
+the contractions onto the MXU; sequence lengths here are static
+(799 queries / 4096 BPS points).
+
+Note: the reference feeds ``encoder_hidden_states`` to *both* of its
+"self"/"cross" BertAttention calls, which in HF semantics makes them
+both cross-attentions over the BPS features with no mask — we keep that
+behaviour (two stacked cross-attention blocks).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class MultiHeadCrossAttention(nn.Module):
+    """BERT-style attention: MHA + output proj + dropout + residual + LayerNorm."""
+
+    hidden_size: int = 256
+    num_heads: int = 4
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden: jnp.ndarray,  # (B, Q, H) queries
+        kv: jnp.ndarray,  # (B, N, H) keys/values source
+        kv_mask: Optional[jnp.ndarray] = None,  # (B, N) bool
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        h = self.hidden_size
+        nh = self.num_heads
+        hd = h // nh
+        B, Q, _ = hidden.shape
+        N = kv.shape[1]
+
+        q = nn.Dense(h, dtype=self.dtype, name="query")(hidden)
+        k = nn.Dense(h, dtype=self.dtype, name="key")(kv)
+        v = nn.Dense(h, dtype=self.dtype, name="value")(kv)
+
+        q = q.reshape(B, Q, nh, hd)
+        k = k.reshape(B, N, nh, hd)
+        v = v.reshape(B, N, nh, hd)
+
+        logits = jnp.einsum("bqhd,bnhd->bhqn", q, k) / jnp.sqrt(hd).astype(self.dtype)
+        if kv_mask is not None:
+            logits = jnp.where(kv_mask[:, None, None, :], logits, -1e9)
+        probs = nn.softmax(logits, axis=-1)
+        probs = nn.Dropout(self.dropout, deterministic=deterministic)(probs)
+        ctx = jnp.einsum("bhqn,bnhd->bqhd", probs, v).reshape(B, Q, h)
+
+        out = nn.Dense(h, dtype=self.dtype, name="out")(ctx)
+        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        out = nn.LayerNorm(dtype=self.dtype, name="ln")(out + hidden)
+        return out
+
+
+class BertFFN(nn.Module):
+    """Intermediate + output: dense->gelu->dense->dropout + residual + LN."""
+
+    hidden_size: int = 256
+    intermediate_size: int = 1024
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        h = nn.Dense(self.intermediate_size, dtype=self.dtype, name="intermediate")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.hidden_size, dtype=self.dtype, name="output")(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return nn.LayerNorm(dtype=self.dtype, name="ln")(h + x)
+
+
+class MLP(nn.Module):
+    """Linear -> ReLU -> Linear, the reference's ubiquitous 2-layer head."""
+
+    hidden: int
+    out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        return nn.Dense(self.out, dtype=self.dtype)(x)

@@ -1,0 +1,120 @@
+"""Point-cloud primitives on TPU (XLA reference implementations).
+
+These replace the pytorch3d C++/CUDA ops on the reference's hot path
+(``knn_points``/``sample_farthest_points`` in
+lib/models/bricks/point_transformers.py:6,18,83 and ``ball_query`` in
+lib/models/heads/ptEmb_head.py:16,413). At POEM's sizes (<=4096 points,
+<=799 queries) the distance matrix fits comfortably in VMEM, so KNN is a
+single MXU matmul + top-k — there is nothing for a handwritten kernel to
+beat for small K; a fused Pallas variant lives in
+:mod:`poem_v2_tpu.ops.pallas_knn` for the large-N regime.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise squared L2: src (..., M, 3), dst (..., N, 3) -> (..., M, N).
+
+    Expressed as a matmul so the contraction runs on the MXU.
+    """
+    # ||s-d||^2 = ||s||^2 + ||d||^2 - 2 s.d
+    s2 = jnp.sum(src**2, axis=-1, keepdims=True)  # (..., M, 1)
+    d2 = jnp.sum(dst**2, axis=-1)[..., None, :]  # (..., 1, N)
+    cross = jnp.einsum("...mc,...nc->...mn", src, dst, precision="highest")
+    return jnp.maximum(s2 + d2 - 2.0 * cross, 0.0)
+
+
+def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows of ``points`` (..., N, C) by ``idx`` (..., M[, K]) -> (..., M[, K], C).
+
+    Equivalent of the reference's index_points (lib/utils/points_utils.py:9-24).
+    """
+    idx_shape = idx.shape
+    batch_shape = points.shape[:-2]
+    flat_idx = idx.reshape(batch_shape + (-1,))
+    out = jnp.take_along_axis(points, flat_idx[..., None], axis=-2)
+    return out.reshape(idx_shape + (points.shape[-1],))
+
+
+def knn_points(
+    query: jnp.ndarray, points: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """K nearest neighbours of each query among ``points``.
+
+    query: (B, Q, 3); points: (B, N, 3).
+    Returns (dists (B, Q, K) squared, idx (B, Q, K), nn_xyz (B, Q, K, 3)),
+    sorted by ascending distance — same contract as pytorch3d
+    ``knn_points(..., return_nn=True)``.
+    """
+    d2 = square_distance(query, points)  # (B, Q, N)
+    neg_d, idx = jax.lax.top_k(-d2, k)
+    nn_xyz = index_points(points, idx)
+    return -neg_d, idx, nn_xyz
+
+
+def ball_query(
+    center: jnp.ndarray,
+    points: jnp.ndarray,
+    k: int,
+    radius: float,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Select ``k`` points within ``radius`` of each centre.
+
+    center: (B, M, 3); points: (B, N, 3). Returns (idx (B, M, k),
+    xyz (B, M, k, 3)); indices are -1 where fewer than k points fall in
+    the ball (pytorch3d semantics, reference ptEmb_head.py:412-420).
+
+    The reference permutes the cloud before ball-querying so the K hits
+    are effectively random within the ball (ptEmb_head.py:526-529); pass
+    ``rng`` to reproduce that behaviour, omit it for deterministic
+    nearest-K-in-ball.
+    """
+    d2 = square_distance(center, points)  # (B, M, N)
+    in_ball = d2 <= radius * radius
+    if rng is not None:
+        priority = jax.random.uniform(rng, d2.shape)
+    else:
+        priority = -d2  # nearest first
+    score = jnp.where(in_ball, priority, -jnp.inf)
+    top, idx = jax.lax.top_k(score, k)
+    valid = jnp.isfinite(top)
+    idx = jnp.where(valid, idx, -1)
+    xyz = index_points(points, jnp.maximum(idx, 0))
+    xyz = jnp.where(valid[..., None], xyz, 0.0)
+    return idx, xyz
+
+
+def farthest_point_sampling(
+    points: jnp.ndarray, k: int, start_idx: int = 0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Iterative farthest point sampling.
+
+    points: (B, N, 3) -> (xyz (B, k, 3), idx (B, k)).
+    Replaces pytorch3d ``sample_farthest_points`` (reference
+    point_transformers.py:18); runs as a fori_loop of length k — it is
+    only used offline to generate the 32 fixed anchors.
+    """
+    B, N, _ = points.shape
+
+    def body(i, state):
+        min_d2, idx_acc = state
+        last = idx_acc[:, i - 1]
+        last_xyz = jnp.take_along_axis(points, last[:, None, None], axis=1)  # (B, 1, 3)
+        d2 = jnp.sum((points - last_xyz) ** 2, axis=-1)  # (B, N)
+        min_d2 = jnp.minimum(min_d2, d2)
+        nxt = jnp.argmax(min_d2, axis=-1)  # (B,)
+        idx_acc = idx_acc.at[:, i].set(nxt)
+        return min_d2, idx_acc
+
+    idx0 = jnp.full((B, k), start_idx, dtype=jnp.int32)
+    init = (jnp.full((B, N), jnp.inf), idx0)
+    _, idx = jax.lax.fori_loop(1, k, body, init)
+    xyz = index_points(points, idx)
+    return xyz, idx

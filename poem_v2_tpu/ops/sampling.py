@@ -1,0 +1,68 @@
+"""Bilinear point sampling from feature maps.
+
+TPU-native replacement of ``F.grid_sample`` as the reference uses it to
+pull per-view features at projected BPS points
+(lib/models/heads/ptEmb_head.py:900-901: bilinear,
+``align_corners=False``, zero padding, grid of isolated points).
+
+Layout is NHWC (channels-last) — the natural TPU layout — and the grid
+is a flat point list (B, N, 2) rather than torch's (B, H_out, W_out, 2).
+The gather decomposes into 4 ``take_along_axis`` ops over a flattened
+H*W axis; XLA fuses the address computation and the lerp into one pass.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def grid_sample_points(feat: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``feat`` (B, H, W, C) at normalized ``coords`` (B, N, 2).
+
+    coords[..., 0] is x in [-1, 1] over width, coords[..., 1] is y over
+    height (torch grid_sample convention, align_corners=False). Points
+    outside the image contribute zeros.
+
+    Returns (B, N, C).
+    """
+    B, H, W, C = feat.shape
+    x = coords[..., 0]
+    y = coords[..., 1]
+    # align_corners=False: ix = ((x + 1) * W - 1) / 2
+    ix = ((x + 1.0) * W - 1.0) * 0.5
+    iy = ((y + 1.0) * H - 1.0) * 0.5
+
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    fx = ix - ix0
+    fy = iy - iy0
+
+    def gather(px, py):
+        inside = (px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1)
+        xi = jnp.clip(px, 0, W - 1).astype(jnp.int32)
+        yi = jnp.clip(py, 0, H - 1).astype(jnp.int32)
+        flat = feat.reshape(B, H * W, C)
+        idx = yi * W + xi  # (B, N)
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (B, N, C)
+        return vals * inside[..., None].astype(feat.dtype)
+
+    v00 = gather(ix0, iy0)
+    v01 = gather(ix0 + 1, iy0)
+    v10 = gather(ix0, iy0 + 1)
+    v11 = gather(ix0 + 1, iy0 + 1)
+
+    fx = fx[..., None].astype(feat.dtype)
+    fy = fy[..., None].astype(feat.dtype)
+    top = v00 * (1 - fx) + v01 * fx
+    bottom = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bottom * fy
+
+
+def pixel_to_grid(uv: jnp.ndarray, inp_res) -> jnp.ndarray:
+    """Pixel coords (..., 2) -> [-1, 1] grid coords.
+
+    Matches the reference's normalisation before grid_sample
+    (ptEmb_head.py:881-883: uv / inp_res * 2 - 1).
+    """
+    res = jnp.asarray(inp_res, dtype=uv.dtype)
+    return uv / res * 2.0 - 1.0
