@@ -1,0 +1,114 @@
+"""Benchmark: 8-view eval throughput (frames/sec/chip) on the POEM model.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline north-star (BASELINE.json): >=500 8-view frames/sec/chip on a
+v5e at parity accuracy. ``vs_baseline`` = value / 500.
+
+The benchmarked path is the full eval forward of the medium-geometry
+model (256^2 crops, 8 views, 4096 BPS, 3 decoder blocks, 256-wide):
+backbone -> necks -> integral heatmap -> masked DLT -> BPS head.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-size", type=int, default=0, help="0 = auto sweep")
+    parser.add_argument("--views", type=int, default=8)
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--backbone", type=str, default="resnet34")
+    parser.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _tiny_cfg
+    from poem_v2_tpu.data import SyntheticMultiviewDataset
+    from poem_v2_tpu.models.poem import create_poem_model
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+
+    cfg = _tiny_cfg(embed=256, nsample=4096, backbone=args.backbone)
+    cfg.HEAD.TRANSFORMER.N_BLOCKS = 3
+    cfg.HEAD.TRANSFORMER.N_NEIGHBOR = 32
+    cfg.HEAD.TRANSFORMER.N_NEIGHBOR_QUERY = 32
+    cfg.HEAD.POSITIONAL_ENCODING.NUM_FEATS = 128
+    model, aux = create_poem_model(cfg, dtype=dtype)
+
+    def run_at_batch(bs: int) -> float:
+        ds = SyntheticMultiviewDataset(
+            batch_size=bs,
+            view_max=args.views,
+            image_size=256,
+            seed=0,
+            random_views=False,
+            view_range=(args.views, args.views),
+        )
+        batch = {k: jnp.asarray(v) for k, v in ds.sample_batch().items()}
+        rng = jax.random.PRNGKey(0)
+        variables = model.init(
+            {"params": rng, "noise": rng, "dropout": rng},
+            batch["image"],
+            batch["view_mask"],
+            batch["cam_intr"],
+            batch["cam_extr"],
+            batch["master_joints_3d"],
+            train=False,
+        )
+
+        @jax.jit
+        def forward(params, image, view_mask, cam_intr, cam_extr):
+            preds = model.apply(
+                {"params": params}, image, view_mask, cam_intr, cam_extr, None, train=False
+            )
+            return preds["pred_joints_3d"], preds["pred_verts_3d"]
+
+        fargs = (
+            variables["params"],
+            batch["image"],
+            batch["view_mask"],
+            batch["cam_intr"],
+            batch["cam_extr"],
+        )
+        # warmup + compile
+        out = forward(*fargs)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = forward(*fargs)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        return bs * args.iters / dt
+
+    if args.batch_size:
+        best = run_at_batch(args.batch_size)
+    else:
+        best = 0.0
+        for bs in (8, 16, 32):
+            try:
+                fps = run_at_batch(bs)
+            except Exception:
+                break
+            best = max(best, fps)
+
+    result = {
+        "metric": f"{args.views}view_eval_frames_per_sec_per_chip",
+        "value": round(best, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(best / 500.0, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

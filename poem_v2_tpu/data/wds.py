@@ -1,0 +1,247 @@
+"""Multi-view webdataset-tar reader (first-party, stdlib tarfile).
+
+Streams the reference's released ``.tar`` shards without the
+``webdataset`` dependency: brace-expanded shard urls, host-level shard
+splitting (the SPMD replacement for ``wds.split_by_node``,
+lib/data_wds/multiview_wds.py:47), shard + sample shuffling, ``rgb8``
+image decode, and the exact per-sample processing of the reference's
+``process_data_item`` (multiview_wds.py:63-144): random view subset
+n ~ round(gauss(4, 2)) clamped to VIEW_RANGE, master re-basing of every
+extrinsic (including the augmentation pre-rotation), optional
+request_flip reflection, master id pinned to view 0.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import pickle
+import random
+import re
+import tarfile
+from typing import Dict, Iterator, List, Optional, Sequence, Union
+
+import numpy as np
+
+from ..utils.logger import logger
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+# datasets whose stored extrinsics are inverted (multiview_wds.py:14)
+INV_EXTR_DATASETS = ("Interhand", "Arctic", "Oakink", "Oakink2")
+
+
+def brace_expand(pattern: str) -> List[str]:
+    """Expand one '{000000..000008}' style range (the only form used)."""
+    m = re.search(r"\{(\d+)\.\.(\d+)\}", pattern)
+    if not m:
+        return [pattern]
+    lo, hi = m.group(1), m.group(2)
+    width = len(lo)
+    return [
+        pattern[: m.start()] + str(i).zfill(width) + pattern[m.end() :]
+        for i in range(int(lo), int(hi) + 1)
+    ]
+
+
+def expand_urls(urls: Union[str, Sequence[str]]) -> List[str]:
+    if isinstance(urls, str):
+        urls = [urls]
+    out: List[str] = []
+    for u in urls:
+        out.extend(brace_expand(os.path.expanduser(os.path.expandvars(u))))
+    return out
+
+
+def iter_tar_samples(path: str) -> Iterator[Dict[str, bytes]]:
+    """Group tar members by key prefix (webdataset convention)."""
+    with tarfile.open(path, "r|*") as tf:
+        current_key = None
+        sample: Dict[str, bytes] = {}
+        for member in tf:
+            if not member.isfile():
+                continue
+            name = member.name
+            key, _, suffix = name.partition(".")
+            data = tf.extractfile(member).read()
+            if current_key is None:
+                current_key = key
+            if key != current_key:
+                sample["__key__"] = current_key
+                yield sample
+                sample = {}
+                current_key = key
+            sample[suffix] = data
+        if sample:
+            sample["__key__"] = current_key
+            yield sample
+
+
+def decode_sample(raw: Dict[str, bytes]) -> Dict:
+    """Decode images to rgb8 numpy + unpickle label.pyd."""
+    out: Dict = {"__key__": raw.get("__key__", "")}
+    for k, v in raw.items():
+        if k == "__key__":
+            continue
+        if k.startswith("image"):
+            buf = np.frombuffer(v, dtype=np.uint8)
+            img = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+            out[k] = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        elif k.endswith("pyd") or k == "label.pyd":
+            out[k] = pickle.loads(v)
+        else:
+            out[k] = v
+    return out
+
+
+class MultiviewWebDataset:
+    """Stream of processed multi-view samples from tar shards."""
+
+    def __init__(
+        self,
+        cfg,
+        data_preset=None,
+        is_train: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
+        seed: int = 0,
+    ):
+        from ..utils.registry import build_transform
+
+        self.urls = expand_urls(cfg.URLS)
+        self.name = cfg.URLS.split("/")[-1].split("_")[0]
+        self.inv_extr = self.name in INV_EXTR_DATASETS
+        self.random_n_views = cfg.get("RANDOM_N_VIEWS", False)
+        self.view_range = cfg.get("VIEW_RANGE", None)
+        self.is_train = is_train
+        self.process_index = process_index
+        self.process_count = process_count
+        self.rng = random.Random(seed + process_index)
+        self.transform = build_transform(
+            cfg.TRANSFORM, data_preset=data_preset, is_train=is_train
+        )
+        if self.random_n_views:
+            assert self.view_range is not None and self.view_range[0] >= 1
+
+    def _shards_for_host(self) -> List[str]:
+        # split_by_node equivalent: stride the shard list by process index
+        return self.urls[self.process_index :: self.process_count]
+
+    def __iter__(self) -> Iterator[Dict]:
+        shards = self._shards_for_host()
+        if self.is_train:
+            shards = list(shards)
+            self.rng.shuffle(shards)
+        buffer: List[Dict] = []
+        buffer_size = 1000 if self.is_train else 0
+        for shard in shards:
+            if not os.path.exists(shard):
+                logger.warning(f"shard missing, skipped: {shard}")
+                continue
+            for raw in iter_tar_samples(shard):
+                item = decode_sample(raw)
+                if buffer_size:
+                    buffer.append(item)
+                    if len(buffer) >= buffer_size:
+                        idx = self.rng.randrange(len(buffer))
+                        yield self.process_data_item(buffer.pop(idx))
+                else:
+                    yield self.process_data_item(item)
+        while buffer:
+            idx = self.rng.randrange(len(buffer))
+            yield self.process_data_item(buffer.pop(idx))
+
+    # -- the reference's process_data_item, loop-for-loop ------------------
+    def process_data_item(self, item: Dict) -> Dict:
+        imgs = {k: v for k, v in item.items() if k.startswith("image")}
+        n_cams = len(imgs)
+        labels = dict(item["label.pyd"])
+        img_type = "png" if any("png" in k for k in imgs) else "jpg"
+
+        if "mano_pose" in labels:
+            labels["mano_pose"] = [
+                np.asarray(labels["mano_pose"][i]).reshape(-1)[:48].reshape(16, 3)
+                for i in range(n_cams)
+            ]
+        else:
+            labels["mano_pose"] = [np.zeros((16, 3), np.float32) for _ in range(n_cams)]
+            labels["mano_shape"] = [np.zeros(10, np.float32) for _ in range(n_cams)]
+        if self.inv_extr:
+            labels["cam_extr"] = [np.linalg.inv(labels["cam_extr"][i]) for i in range(n_cams)]
+
+        indices = list(range(n_cams))
+        if self.random_n_views:
+            self.rng.shuffle(indices)
+            n = int(round(self.rng.gauss(4, 2)))
+            n = min(max(self.view_range[0], n), self.view_range[1])
+            n = min(n, n_cams)
+            indices_keep = indices[:n]
+        else:
+            indices_keep = indices
+
+        new_master = indices_keep[0]
+        t_master_2_new = labels["cam_extr"][new_master]
+        master_joints_3d = labels["joints_3d"][new_master]
+        master_verts_3d = labels["verts_3d"][new_master]
+
+        res: Dict[str, List] = {}
+        for ind in indices_keep:
+            img = imgs[f"image_{ind}.{img_type}"]
+            if labels.get("request_flip", False):
+                intr = labels["cam_intr"][ind]
+                raw_size = tuple(labels["raw_size"][ind])
+                cc = np.array([intr[0, 2], intr[1, 2]])
+                m = np.array([[-1, 0, 2 * cc[0]], [0, 1, 0]], dtype=np.float32)
+                img = cv2.warpAffine(img, m, raw_size)
+
+            lab = {k: v[ind] for k, v in labels.items() if k != "request_flip"}
+            tgt = self.transform(img, lab, no_rot=(ind == new_master))
+
+            # extrinsic re-basing incl. augmentation pre-rotation
+            # (multiview_wds.py:119-126)
+            t_m2c = lab["cam_extr"]
+            t_new_2_cam = np.linalg.inv(t_master_2_new) @ t_m2c
+            prerot = np.eye(4)
+            prerot[:3, :3] = tgt["extr_prerot"]
+            tgt["target_cam_extr"] = np.linalg.inv(prerot @ np.linalg.inv(t_new_2_cam)).astype(
+                np.float32
+            )
+
+            for k, v in {**lab, **tgt}.items():
+                res.setdefault(k, []).append(v)
+
+        out = {}
+        for k, v in res.items():
+            if isinstance(v[0], (int, float, np.integer, np.floating, np.ndarray)):
+                out[k] = np.stack([np.asarray(x) for x in v])
+            else:
+                out[k] = v
+        out["master_id"] = 0
+        out["master_joints_3d"] = np.asarray(master_joints_3d, dtype=np.float32)
+        out["master_verts_3d"] = np.asarray(master_verts_3d, dtype=np.float32)
+        out["__key__"] = item.get("__key__", "")
+        return out
+
+
+class MixWebDataset:
+    """Ratio mixer over several MultiviewWebDataset streams
+    (reference lib/datasets/mix_dataset.py:79-93 / wds.RandomMix)."""
+
+    def __init__(self, datasets: Sequence[MultiviewWebDataset], ratios: Sequence[float], seed: int = 0):
+        self.datasets = list(datasets)
+        total = float(sum(ratios))
+        self.ratios = [r / total for r in ratios]
+        self.rng = random.Random(seed)
+
+    def __iter__(self) -> Iterator[Dict]:
+        iters = [iter(d) for d in self.datasets]
+        alive = list(range(len(iters)))
+        while alive:
+            i = self.rng.choices(alive, weights=[self.ratios[a] for a in alive])[0]
+            try:
+                yield next(iters[i])
+            except StopIteration:
+                alive.remove(i)

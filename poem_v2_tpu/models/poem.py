@@ -1,0 +1,223 @@
+"""POEM: Point-Embedded Multi-view Stereo model (flax).
+
+TPU-native re-design of the reference ``PtEmbedMultiviewStereoV2``
+(lib/models/POEM.py:30-333). One static-shape SPMD forward:
+
+  images (B, V, 256, 256, 3) padded to V_max with a (B, V) view mask
+  -> backbone (per view, batched as B*V)
+  -> feat neck (BN, 32, 32, C) + heatmap neck -> integral 2D joints
+  -> reference joints: train = GT + noise (reference POEM.py:274-281);
+     eval = masked batched DLT triangulation of the predicted 2D joints
+     (POEM.py:285-299), falling back to GT for single-view samples
+     (POEM.py:282-283)
+  -> POEM generalized head (BPS fusion + point-embedded decoder).
+
+The reference's ragged (ΣN_i) batching and all its per-sample loops are
+gone; every sample has the same shape and the mask carries raggedness.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.camera import invert_rigid
+from ..geometry.heatmap import integral_heatmap2d, normalize_heatmap
+from ..geometry.triangulation import triangulate_dlt
+from ..mano import ManoLayer
+from ..utils.config import Config
+from ..utils.registry import MODEL
+from .backbones.resnet import ResNet
+from .backbones.hrnet import HRNet
+from .heads.ptemb_head import POEMGeneralizedHead, generate_bps_basis
+from .neck import HRNetFeatNeck, ResNetFeatNeck, UVDecodeNeck
+
+
+class POEMNet(nn.Module):
+    """End-to-end POEM forward. See module docstring."""
+
+    backbone: nn.Module
+    feat_neck: nn.Module
+    uv_neck: nn.Module
+    head: nn.Module
+    num_joints: int = 21
+    center_idx: int = 0  # DATA_PRESET.CENTER_IDX (root for noise jitter)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jnp.ndarray,  # (B, V, H, W, 3)
+        view_mask: jnp.ndarray,  # (B, V) bool
+        cam_intr: jnp.ndarray,  # (B, V, 3, 3)
+        cam_extr: jnp.ndarray,  # (B, V, 4, 4) camera->master
+        master_joints_3d: Optional[jnp.ndarray] = None,  # (B, 21, 3)
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        B, V, H, W, _ = images.shape
+        f32 = jnp.float32
+
+        imgs = images.reshape(B * V, H, W, 3).astype(self.dtype)
+        feats = self.backbone(imgs)
+        if isinstance(feats, dict):
+            pyramid = [feats[k] for k in ("res_layer1", "res_layer2", "res_layer3", "res_layer4")]
+        else:
+            pyramid = list(feats)
+
+        mlvl = self.feat_neck(pyramid)  # (BN, h, w, C_in)
+        uv_hmap, _ = self.uv_neck(pyramid)  # (BN, 32, 32, 21)
+
+        # integral heatmap -> 2D joints in pixels (reference POEM.py:211-222)
+        hm = jnp.transpose(uv_hmap, (0, 3, 1, 2)).astype(f32)  # (BN, 21, 32, 32)
+        uv_pdf = normalize_heatmap(hm)
+        uv_coord = integral_heatmap2d(uv_pdf)  # (BN, 21, 2) in [0, 1)
+        uv_coord_im = uv_coord * jnp.asarray([W, H], dtype=f32)
+        uv_coord_im = uv_coord_im.reshape(B, V, self.num_joints, 2)
+
+        # ---- reference joints --------------------------------------------
+        if train:
+            assert master_joints_3d is not None
+            gt = master_joints_3d.astype(f32)
+            key = self.make_rng("noise")
+            k1, k2, k3 = jax.random.split(key, 3)
+            noise = 0.01 * jax.random.normal(k1, gt.shape) + 0.01 * jax.random.normal(k2, (1,))
+            ref = gt + noise
+            root = ref[:, self.center_idx][:, None]
+            scale = 0.01 * (jax.random.uniform(k3, (1,)) * 2.0 - 1.0) + 1.0
+            ref_joints = scale * (ref - root) + root
+        else:
+            extr_m2c = invert_rigid(cam_extr.astype(f32))
+            tri = triangulate_dlt(uv_coord_im, cam_intr.astype(f32), extr_m2c, view_mask)
+            n_views = jnp.sum(view_mask.astype(f32), axis=1)
+            if master_joints_3d is not None:
+                # single-view eval uses GT reference joints (reference POEM.py:282-283)
+                is_single = (n_views <= 1.0)[:, None, None]
+                ref_joints = jnp.where(is_single, master_joints_3d.astype(f32), tri)
+            else:
+                ref_joints = tri
+
+        head_out = self.head(
+            mlvl.reshape(B, V, *mlvl.shape[1:]),
+            view_mask,
+            cam_intr,
+            cam_extr,
+            ref_joints,
+            inp_res=(W, H),
+            deterministic=not train,
+        )
+
+        all_coords = head_out["all_coords_preds"]  # (n_blocks, B, 799, 3)
+        preds: Dict[str, jnp.ndarray] = dict(head_out)
+        pred_joints = all_coords[-1, :, : self.num_joints]
+        pred_verts = all_coords[-1, :, self.num_joints :]
+        centre = pred_joints[:, self.center_idx][:, None]
+        preds.update(
+            pred_joints_3d=pred_joints,
+            pred_verts_3d=pred_verts,
+            pred_joints_3d_rel=pred_joints - centre,
+            pred_verts_3d_rel=pred_verts - centre,
+            pred_joints_uv=uv_coord_im,
+            pred_ref_joints_3d=ref_joints,
+        )
+        return preds
+
+
+def create_poem_model(cfg: Config, dtype=jnp.float32) -> Tuple[POEMNet, Dict[str, Any]]:
+    """Build a POEMNet + auxiliary constants from a reference-schema config.
+
+    Returns (model, aux) where aux carries the MANO layer (for losses /
+    joints-from-mesh metrics) and the static BPS/anchor assets.
+    """
+    bb_cfg = cfg.BACKBONE
+    head_cfg = cfg.HEAD
+    tr_cfg = head_cfg.TRANSFORMER
+    norm = bb_cfg.get("NORM", "gn")
+
+    bb_type = bb_cfg.TYPE
+    if bb_type.lower().startswith("resnet"):
+        backbone = ResNet(arch=bb_type.lower(), norm=norm, dtype=dtype)
+        feat_size = backbone.feat_size
+        feat_neck = ResNetFeatNeck(feat_size=feat_size, norm=norm, dtype=dtype)
+        uv_neck = UVDecodeNeck(feat_size=feat_size, hrnet=False, norm=norm, dtype=dtype)
+    elif bb_type == "HRNet":
+        backbone = HRNet.from_config(bb_cfg, dtype=dtype)
+        feat_size = tuple(backbone.stage4_channels)  # (40, 80, 160, 320)
+        feat_neck = HRNetFeatNeck(feat_size=feat_size, norm=norm, dtype=dtype)
+        uv_neck = UVDecodeNeck(feat_size=feat_size, hrnet=True, norm=norm, dtype=dtype)
+    else:
+        raise ValueError(f"Unsupported backbone {bb_type!r} for POEM")
+
+    nsample = head_cfg.N_SAMPLE
+    radius = head_cfg.RADIUS_SAMPLE
+    parametric = tr_cfg.get("PARAMETRIC_OUTPUT", False)
+    transformer_center_idx = tr_cfg.get("TRANSFORMER_CENTER_IDX", 9)
+
+    # static geometry assets (deterministic; reference caches these to
+    # assets/bps.npy + assets/anchor*.npy — ptEmb_head.py:790-809,
+    # point_transformers.py:10-32)
+    bps = generate_bps_basis(nsample, radius)
+    mano_layer = ManoLayer(center_idx=transformer_center_idx)
+    mano_out = mano_layer(jnp.zeros((1, 48)), jnp.zeros((1, 10)))
+    template = np.asarray(
+        jnp.concatenate([mano_out.joints, mano_out.verts], axis=1)[0]
+    )  # (799, 3), centered at joint 9
+
+    from ..ops.points import farthest_point_sampling
+
+    _, pt_anchor_idx = farthest_point_sampling(jnp.asarray(bps[None] / radius), 32)
+    _, q_anchor_idx = farthest_point_sampling(jnp.asarray(template[None] / radius), 32)
+
+    head = POEMGeneralizedHead(
+        embed_dims=head_cfg.EMBED_DIMS,
+        pt_feat_dim=head_cfg.POINTS_FEAT_DIM,
+        in_channels=head_cfg.IN_CHANNELS,
+        num_query=head_cfg.NUM_QUERY,
+        nsample=nsample,
+        radius=radius,
+        pe_num_feats=head_cfg.POSITIONAL_ENCODING.NUM_FEATS,
+        center_idx=transformer_center_idx,
+        parametric_output=parametric,
+        bps_basis=bps,
+        template_mesh=template,
+        query_anchor_idx=np.asarray(q_anchor_idx[0]),
+        pt_anchor_idx=np.asarray(pt_anchor_idx[0]),
+        mano_layer=mano_layer if parametric else None,
+        n_blocks=tr_cfg.N_BLOCKS,
+        num_heads=tr_cfg.NUM_ATTENTION_HEADS,
+        dropout=tr_cfg.get("DROPOUT", 0.1),
+        n_neighbor=tr_cfg.N_NEIGHBOR,
+        n_neighbor_query=tr_cfg.N_NEIGHBOR_QUERY,
+        dtype=dtype,
+    )
+
+    model = POEMNet(
+        backbone=backbone,
+        feat_neck=feat_neck,
+        uv_neck=uv_neck,
+        head=head,
+        num_joints=cfg.DATA_PRESET.NUM_JOINTS if "DATA_PRESET" in cfg else 21,
+        center_idx=cfg.DATA_PRESET.CENTER_IDX if "DATA_PRESET" in cfg else 0,
+        dtype=dtype,
+    )
+    aux = {
+        "mano_layer": ManoLayer(center_idx=None),
+        "bps_basis": bps,
+        "template_mesh": template,
+        "parametric_output": parametric,
+        "transformer_center_idx": transformer_center_idx,
+    }
+    return model, aux
+
+
+@MODEL.register_module("PtEmbedMultiviewStereoV2")
+class PtEmbedMultiviewStereoV2:
+    """Registry adapter keeping the reference model name & cfg schema."""
+
+    def __new__(cls, cfg: Config):
+        model, aux = create_poem_model(cfg)
+        model_aux = (model, aux)
+        return model_aux

@@ -1,0 +1,156 @@
+"""SPMD training step + Trainer.
+
+TPU-native equivalent of the reference's DDP epoch loop
+(scripts/train_ddp.py:96-138): one jitted train step over a
+``Mesh('data', 'model')``; batch sharded on the data axis, parameters
+replicated, gradient mean emitted by XLA as an ICI psum. No process
+groups, no barriers, no explicit all-reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..models.losses import poem_loss
+from ..parallel.mesh import batch_sharding, create_mesh, replicated, shard_batch
+from ..utils.logger import logger
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, tx, rng):
+        return cls(
+            step=jnp.zeros((), dtype=jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            rng=rng,
+            tx=tx,
+        )
+
+
+def make_train_step(
+    model,
+    loss_fn: Callable,
+) -> Callable:
+    """Build the pure train step: (state, batch) -> (state, metrics)."""
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rng, noise_rng, drop_rng = jax.random.split(state.rng, 3)
+
+        def compute(params):
+            preds = model.apply(
+                {"params": params},
+                batch["image"],
+                batch["view_mask"],
+                batch["cam_intr"],
+                batch["cam_extr"],
+                batch["master_joints_3d"],
+                train=True,
+                rngs={"noise": noise_rng, "dropout": drop_rng},
+            )
+            loss, loss_dict = loss_fn(preds, batch)
+            return loss, (loss_dict, preds)
+
+        (loss, (loss_dict, _)), grads = jax.value_and_grad(compute, has_aux=True)(state.params)
+        updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(loss_dict)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            state.replace(
+                step=state.step + 1, params=new_params, opt_state=new_opt_state, rng=rng
+            ),
+            metrics,
+        )
+
+    return train_step
+
+
+class Trainer:
+    """Owns the mesh, the jitted step, and the metric plumbing."""
+
+    def __init__(
+        self,
+        model,
+        aux: Dict[str, Any],
+        train_cfg,
+        loss_cfg,
+        mesh=None,
+        steps_per_epoch: int = 1000,
+        seed: Optional[int] = None,
+    ):
+        from .optim import build_optimizer
+
+        self.model = model
+        self.aux = aux
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.tx = build_optimizer(train_cfg, steps_per_epoch)
+        self.seed = seed if seed is not None else train_cfg.get("MANUAL_SEED", 1)
+
+        j_reg = aux["mano_layer"].j_regressor
+
+        def loss_fn(preds, batch):
+            return poem_loss(
+                preds,
+                batch,
+                j_regressor=j_reg,
+                loss_cfg=loss_cfg,
+                parametric=aux.get("parametric_output", False),
+                transformer_center_idx=aux.get("transformer_center_idx", 9),
+            )
+
+        self.loss_fn = loss_fn
+        step = make_train_step(model, loss_fn)
+        self._train_step = jax.jit(
+            step,
+            in_shardings=(replicated(self.mesh), batch_sharding(self.mesh)),
+            out_shardings=(replicated(self.mesh), replicated(self.mesh)),
+            donate_argnums=(0,),
+        )
+
+    def init_state(self, sample_batch: Dict[str, Any]) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed)
+        p_rng, n_rng, d_rng, s_rng = jax.random.split(rng, 4)
+        variables = self.model.init(
+            {"params": p_rng, "noise": n_rng, "dropout": d_rng},
+            sample_batch["image"],
+            sample_batch["view_mask"],
+            sample_batch["cam_intr"],
+            sample_batch["cam_extr"],
+            sample_batch["master_joints_3d"],
+            train=False,
+        )
+        state = TrainState.create(variables["params"], self.tx, s_rng)
+        return jax.device_put(state, replicated(self.mesh))
+
+    def step(self, state: TrainState, batch: Dict[str, Any]):
+        batch = shard_batch(self._to_device_batch(batch), self.mesh)
+        return self._train_step(state, batch)
+
+    @staticmethod
+    def _to_device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+        keep = (
+            "image",
+            "view_mask",
+            "cam_intr",
+            "cam_extr",
+            "master_joints_3d",
+            "master_verts_3d",
+            "target_joints_2d",
+            "mano_pose",
+            "mano_shape",
+        )
+        return {k: jnp.asarray(batch[k]) for k in keep if k in batch}

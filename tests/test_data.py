@@ -1,0 +1,191 @@
+"""Data pipeline tests: tar streaming, transforms, padded collation.
+
+Builds a synthetic webdataset-format tar shard on disk (same layout the
+reference's dump tools produce: image_{i}.jpg + label.pyd per sample)
+and runs it through the full host pipeline.
+"""
+
+import io
+import os
+import pickle
+import tarfile
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from poem_v2_tpu.data import (
+    MultiviewWebDataset,
+    SimpleTransform3DMultiView,
+    batch_iterator,
+    collate_padded,
+    expand_urls,
+)
+from poem_v2_tpu.data.transforms import affine_transform, transform_coords
+from poem_v2_tpu.utils.config import Config
+
+
+def make_shard(path, n_samples=4, n_cams=3, img_size=128, seed=0):
+    rs = np.random.RandomState(seed)
+    with tarfile.open(path, "w") as tf:
+        for s in range(n_samples):
+            key = f"sample{s:06d}"
+            label = {
+                "cam_serial": [f"cam{i}" for i in range(n_cams)],
+                "cam_extr": [],
+                "cam_intr": [],
+                "joints_2d": [],
+                "joints_3d": [],
+                "verts_3d": [],
+                "joints_vis": [],
+                "bbox_center": [],
+                "bbox_scale": [],
+                "raw_size": [],
+                "mano_pose": [rs.randn(48).astype(np.float32) for _ in range(n_cams)],
+                "mano_shape": [rs.randn(10).astype(np.float32) for _ in range(n_cams)],
+            }
+            # hand points in master space
+            joints_master = rs.randn(21, 3).astype(np.float32) * 0.05 + [0, 0, 0.5]
+            verts_master = rs.randn(778, 3).astype(np.float32) * 0.05 + [0, 0, 0.5]
+            for i in range(n_cams):
+                # camera i: small rotation/translation from master
+                aa = rs.randn(3) * 0.2
+                from scipy.spatial.transform import Rotation as R
+
+                rot = R.from_rotvec(aa).as_matrix()
+                t = rs.randn(3) * 0.05
+                extr_c2m = np.eye(4)
+                extr_c2m[:3, :3] = rot
+                extr_c2m[:3, 3] = t
+                m2c = np.linalg.inv(extr_c2m)
+                j_cam = joints_master @ m2c[:3, :3].T + m2c[:3, 3]
+                v_cam = verts_master @ m2c[:3, :3].T + m2c[:3, 3]
+                intr = np.array(
+                    [[200.0, 0, img_size / 2], [0, 200.0, img_size / 2], [0, 0, 1]],
+                    dtype=np.float32,
+                )
+                proj = j_cam @ intr.T
+                j2d = proj[:, :2] / proj[:, 2:]
+                label["cam_extr"].append(extr_c2m.astype(np.float32))
+                label["cam_intr"].append(intr)
+                label["joints_2d"].append(j2d.astype(np.float32))
+                label["joints_3d"].append(j_cam.astype(np.float32))
+                label["verts_3d"].append(v_cam.astype(np.float32))
+                label["joints_vis"].append(np.ones(21, np.float32))
+                label["bbox_center"].append(j2d.mean(0).astype(np.float32))
+                label["bbox_scale"].append(np.float32(80.0))
+                label["raw_size"].append(np.array([img_size, img_size]))
+
+                img = (rs.rand(img_size, img_size, 3) * 255).astype(np.uint8)
+                ok, buf = cv2.imencode(".jpg", img)
+                info = tarfile.TarInfo(f"{key}.image_{i}.jpg")
+                info.size = len(buf)
+                tf.addfile(info, io.BytesIO(buf.tobytes()))
+
+            payload = pickle.dumps(label)
+            info = tarfile.TarInfo(f"{key}.label.pyd")
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    return path
+
+
+def ds_cfg(urls, random_n_views=True, aug=False):
+    return Config(
+        {
+            "URLS": urls,
+            "DATA_SPLIT": "train",
+            "RANDOM_N_VIEWS": random_n_views,
+            "VIEW_RANGE": [1, 3],
+            "TRANSFORM": {
+                "TYPE": "SimpleTransform3DMultiView",
+                "AUG": aug,
+                "CENTER_JIT": 0.05,
+                "SCALE_JIT": 0.06,
+                "ROT_JIT": 5,
+                "COLOR_JIT": 0.3,
+                "ROT_PROB": 0.5,
+            },
+        }
+    )
+
+
+DATA_PRESET = Config({"IMAGE_SIZE": [128, 128], "CENTER_IDX": 0, "NUM_JOINTS": 21})
+
+
+class TestBraceExpand:
+    def test_expand(self):
+        urls = expand_urls("shard-{000000..000002}.tar")
+        assert urls == ["shard-000000.tar", "shard-000001.tar", "shard-000002.tar"]
+
+
+class TestWDS:
+    def test_stream_and_geometry_consistency(self, tmp_path):
+        shard = make_shard(str(tmp_path / "Test_mv_train-000000.tar"))
+        ds = MultiviewWebDataset(ds_cfg(shard, random_n_views=False), data_preset=DATA_PRESET)
+        samples = list(ds)
+        assert len(samples) == 4
+        s = samples[0]
+        assert s["image"].shape == (3, 128, 128, 3)
+        assert s["master_id"] == 0
+        # master view extrinsic must be (close to) identity after re-basing
+        np.testing.assert_allclose(s["target_cam_extr"][0], np.eye(4), atol=1e-5)
+        # projected master joints through target K/T must match target_joints_2d
+        for v in range(3):
+            extr = s["target_cam_extr"][v]
+            intr = s["target_cam_intr"][v]
+            m2c = np.linalg.inv(extr)
+            j_cam = s["master_joints_3d"] @ m2c[:3, :3].T + m2c[:3, 3]
+            proj = j_cam @ intr.T
+            j2d = proj[:, :2] / proj[:, 2:]
+            np.testing.assert_allclose(j2d, s["target_joints_2d"][v], atol=0.1)
+
+    def test_random_views_respect_range(self, tmp_path):
+        shard = make_shard(str(tmp_path / "Test_mv_train-000000.tar"))
+        ds = MultiviewWebDataset(ds_cfg(shard, random_n_views=True), data_preset=DATA_PRESET)
+        for s in ds:
+            assert 1 <= s["image"].shape[0] <= 3
+
+    def test_aug_keeps_projection_consistent(self, tmp_path):
+        """After rotation aug, K' = affine_postrot@K and rotated 3D labels
+        must still project onto the warped 2D joints."""
+        shard = make_shard(str(tmp_path / "Test_mv_train-000000.tar"))
+        np.random.seed(0)
+        ds = MultiviewWebDataset(
+            ds_cfg(shard, random_n_views=False, aug=True), data_preset=DATA_PRESET
+        )
+        s = next(iter(ds))
+        for v in range(s["image"].shape[0]):
+            intr = s["target_cam_intr"][v]
+            j3d = s["target_joints_3d"][v]  # rotated camera-space joints
+            proj = j3d @ intr.T
+            j2d = proj[:, :2] / proj[:, 2:]
+            np.testing.assert_allclose(j2d, s["target_joints_2d"][v], atol=0.5)
+
+
+class TestCollate:
+    def test_padded_batch_layout(self, tmp_path):
+        shard = make_shard(str(tmp_path / "Test_mv_train-000000.tar"))
+        ds = MultiviewWebDataset(ds_cfg(shard, random_n_views=True), data_preset=DATA_PRESET)
+        batches = list(batch_iterator(ds, batch_size=2, view_max=4))
+        assert len(batches) == 2
+        b = batches[0]
+        assert b["image"].shape == (2, 4, 128, 128, 3)
+        assert b["cam_intr"].shape == (2, 4, 3, 3)
+        assert b["cam_extr"].shape == (2, 4, 4, 4)
+        assert b["view_mask"].shape == (2, 4)
+        assert b["master_joints_3d"].shape == (2, 21, 3)
+        assert b["master_verts_3d"].shape == (2, 778, 3)
+        assert b["mano_pose"].shape == (2, 16, 3)
+        # padding slots hold identity extrinsics
+        inv = ~b["view_mask"]
+        if inv.any():
+            np.testing.assert_allclose(b["cam_extr"][inv][0], np.eye(4))
+
+
+class TestAffine:
+    def test_crop_maps_center_to_image_center(self):
+        center = np.array([50.0, 60.0])
+        a = affine_transform(center, 80.0, (128, 128), rot=0.3)
+        out = transform_coords(center[None], a)[0]
+        np.testing.assert_allclose(out, [64.0, 64.0], atol=1e-4)

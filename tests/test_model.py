@@ -1,0 +1,207 @@
+"""Model tests: forward shapes, mask invariance, merge math, decoder."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from helpers import TINY_MODEL_CFG, tiny_batch
+from poem_v2_tpu.models.poem import create_poem_model
+from poem_v2_tpu.models.heads.ptemb_head import MergeFeaturesMV, generate_bps_basis
+from poem_v2_tpu.models.positional import sine_positional_encoding_3d
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model, aux = create_poem_model(TINY_MODEL_CFG)
+    batch = tiny_batch(batch_size=2, view_max=4, image_size=64, random_views=False)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "noise": rng, "dropout": rng},
+        batch["image"],
+        batch["view_mask"],
+        batch["cam_intr"],
+        batch["cam_extr"],
+        batch["master_joints_3d"],
+        train=False,
+    )
+    return model, aux, variables
+
+
+class TestForward:
+    def test_eval_shapes_finite(self, model_and_vars):
+        model, aux, variables = model_and_vars
+        batch = tiny_batch(batch_size=2, view_max=4, image_size=64, seed=1)
+        preds = model.apply(
+            variables,
+            batch["image"],
+            batch["view_mask"],
+            batch["cam_intr"],
+            batch["cam_extr"],
+            batch["master_joints_3d"],
+            train=False,
+        )
+        assert preds["all_coords_preds"].shape == (2, 2, 799, 3)
+        assert preds["pred_joints_3d"].shape == (2, 21, 3)
+        assert preds["pred_verts_3d"].shape == (2, 778, 3)
+        assert preds["pred_joints_uv"].shape == (2, 4, 21, 2)
+        for v in jax.tree_util.tree_leaves(preds):
+            assert np.isfinite(np.asarray(v)).all()
+
+    def test_train_mode_runs(self, model_and_vars):
+        model, aux, variables = model_and_vars
+        batch = tiny_batch(batch_size=2, view_max=4, image_size=64, seed=2)
+        preds = model.apply(
+            variables,
+            batch["image"],
+            batch["view_mask"],
+            batch["cam_intr"],
+            batch["cam_extr"],
+            batch["master_joints_3d"],
+            train=True,
+            rngs={"noise": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+        )
+        assert np.isfinite(np.asarray(preds["pred_verts_3d"])).all()
+
+    def test_padded_views_do_not_change_output(self, model_and_vars):
+        """Core masking property: garbage in padded views must be inert."""
+        model, aux, variables = model_and_vars
+        batch = tiny_batch(batch_size=2, view_max=4, image_size=64, seed=5, random_views=False)
+        # valid views: first 2 only
+        mask = np.zeros((2, 4), dtype=bool)
+        mask[:, :2] = True
+
+        def run(images):
+            return model.apply(
+                variables,
+                jnp.asarray(images),
+                jnp.asarray(mask),
+                batch["cam_intr"],
+                batch["cam_extr"],
+                batch["master_joints_3d"],
+                train=False,
+            )["pred_verts_3d"]
+
+        img_a = np.asarray(batch["image"]).copy()
+        img_b = img_a.copy()
+        img_b[:, 2:] = np.random.RandomState(9).rand(2, 2, 64, 64, 3) * 10 - 5
+        out_a = np.asarray(run(img_a))
+        out_b = np.asarray(run(img_b))
+        np.testing.assert_allclose(out_a, out_b, atol=1e-5)
+
+    def test_ref_joints_from_triangulation_close_to_gt(self, model_and_vars):
+        """With multi-view input, triangulated ref joints should be sane.
+
+        The heatmap branch is untrained so uv preds are noise; this only
+        checks finiteness and shape of the DLT path (accuracy is covered
+        in test_geometry).
+        """
+        model, aux, variables = model_and_vars
+        batch = tiny_batch(batch_size=2, view_max=4, image_size=64, seed=7)
+        preds = model.apply(
+            variables,
+            batch["image"],
+            batch["view_mask"],
+            batch["cam_intr"],
+            batch["cam_extr"],
+            None,
+            train=False,
+        )
+        assert np.isfinite(np.asarray(preds["pred_ref_joints_3d"])).all()
+
+
+class TestMergeFeatures:
+    def test_mv_matches_manual_math(self):
+        B, V, N, C = 2, 4, 8, 16
+        rng = np.random.RandomState(0)
+        feats = rng.randn(B, V, N, C).astype(np.float32)
+        mask = np.ones((B, V), dtype=bool)
+        mask[1, 3] = False  # sample 1 has 3 valid views
+
+        module = MergeFeaturesMV(embed_dims=C)
+        variables = module.init(jax.random.PRNGKey(0), jnp.asarray(feats), jnp.asarray(mask))
+        out = np.asarray(module.apply(variables, jnp.asarray(feats), jnp.asarray(mask)))
+
+        p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+        def mlp(x, params):
+            x = x @ params["Dense_0"]["kernel"] + params["Dense_0"]["bias"]
+            x = np.maximum(x, 0)
+            return x @ params["Dense_1"]["kernel"] + params["Dense_1"]["bias"]
+
+        for b in range(B):
+            n_valid = mask[b].sum()
+            q = feats[b].transpose(1, 0, 2)  # (N, V, C)
+            q1 = q[:, 0]
+            qm = mlp(q, p["merge_net_0"])
+            master, others = qm[:, 0], qm[:, 1 : n_valid]
+            score = np.einsum("nvc,nc->nv", others, master)
+            agg = np.einsum("nv,nvc->nc", score, others)
+            want = q1 + mlp(agg, p["merge_net_1"]) / n_valid
+            np.testing.assert_allclose(out[b], want, atol=1e-4)
+
+    def test_single_view_variant(self):
+        B, V, N, C = 1, 4, 8, 16
+        rng = np.random.RandomState(1)
+        feats = rng.randn(B, V, N, C).astype(np.float32)
+        mask = np.zeros((B, V), dtype=bool)
+        mask[:, 0] = True
+
+        module = MergeFeaturesMV(embed_dims=C)
+        variables = module.init(jax.random.PRNGKey(0), jnp.asarray(feats), jnp.asarray(mask))
+        out = np.asarray(module.apply(variables, jnp.asarray(feats), jnp.asarray(mask)))
+
+        p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+        def mlp(x, params):
+            x = x @ params["Dense_0"]["kernel"] + params["Dense_0"]["bias"]
+            x = np.maximum(x, 0)
+            return x @ params["Dense_1"]["kernel"] + params["Dense_1"]["bias"]
+
+        q1 = feats[0].transpose(1, 0, 2)[:, 0]
+        want = q1 + mlp(mlp(q1, p["merge_net_0"]), p["merge_net_1"])
+        np.testing.assert_allclose(out[0], want, atol=1e-4)
+
+
+class TestSinePE:
+    def test_matches_torch_reference_semantics(self):
+        """Check against a direct port of the reference formula on dense masks."""
+        import math
+
+        B, V, H, W, F = 2, 3, 4, 4, 8
+        vm = np.array([[True, True, True], [True, True, False]])
+        got = np.asarray(sine_positional_encoding_3d(jnp.asarray(vm), H, W, num_feats=F))
+
+        # reference semantics (petr_transformer.py:434-469) in numpy
+        not_mask = np.zeros((B, V, H, W))
+        for b in range(B):
+            not_mask[b, : vm[b].sum()] = 1.0
+        n_embed = np.cumsum(not_mask, 1)
+        y_embed = np.cumsum(not_mask, 2)
+        x_embed = np.cumsum(not_mask, 3)
+        eps, scale = 1e-6, 2 * math.pi
+        n_embed = n_embed / (n_embed[:, -1:, :, :] + eps) * scale
+        y_embed = y_embed / (y_embed[:, :, -1:, :] + eps) * scale
+        x_embed = x_embed / (x_embed[:, :, :, -1:] + eps) * scale
+        dim_t = 10000 ** (2 * (np.arange(F) // 2) / F)
+
+        def ilv(v):
+            vals = v[..., None] / dim_t
+            sin, cos = np.sin(vals[..., 0::2]), np.cos(vals[..., 1::2])
+            return np.stack([sin, cos], -1).reshape(v.shape + (F,))
+
+        want = np.concatenate([ilv(n_embed), ilv(y_embed), ilv(x_embed)], -1)
+        # compare only valid views (padded views are masked downstream)
+        for b in range(B):
+            nv = vm[b].sum()
+            np.testing.assert_allclose(got[b, :nv], want[b, :nv], atol=1e-4)
+
+
+class TestBPS:
+    def test_basis_inside_ball_and_deterministic(self):
+        b1 = generate_bps_basis(512, 0.1)
+        b2 = generate_bps_basis(512, 0.1)
+        np.testing.assert_array_equal(b1, b2)
+        assert (np.linalg.norm(b1, axis=1) <= 0.1 + 1e-6).all()
+        # roughly uniform: mean radius of uniform ball = 3/4 R
+        assert abs(np.linalg.norm(b1, axis=1).mean() - 0.075) < 0.01
