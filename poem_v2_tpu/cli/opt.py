@@ -1,0 +1,30 @@
+"""CLI argument parsing (reference lib/opt.py:9-55).
+
+DDP-era flags (node rank, master addr/port, gpu ids) are gone — the JAX
+runtime discovers the mesh; ``--mesh-data``/``--mesh-model`` select the
+logical mesh shape instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_exp_args(argv=None):
+    p = argparse.ArgumentParser("POEM-v2-TPU")
+    p.add_argument("-c", "--cfg", type=str, required=True, help="experiment config yaml")
+    p.add_argument("--exp_id", type=str, default="default", help="experiment id")
+    p.add_argument("--resume", type=str, default=None, help="experiment dir to resume")
+    p.add_argument("--reload", type=str, default=None, help="checkpoint to load weights from")
+    p.add_argument("-b", "--batch_size", type=int, default=None, help="global batch size")
+    p.add_argument("--val_batch_size", type=int, default=None)
+    p.add_argument("-w", "--workers", type=int, default=4)
+    p.add_argument("--snapshot", type=int, default=1, help="epochs between ckpt snapshots")
+    p.add_argument("--eval_freq", type=int, default=1)
+    p.add_argument("--log_freq", type=int, default=10)
+    p.add_argument("--eval_extra", type=str, default="", help="auc | draw | save")
+    p.add_argument("--view_max", type=int, default=8, help="padded view count")
+    p.add_argument("--mesh_data", type=int, default=None, help="data-parallel mesh size")
+    p.add_argument("--mesh_model", type=int, default=1, help="model-parallel mesh size")
+    p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
+    return p.parse_args(argv)

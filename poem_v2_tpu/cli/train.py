@@ -1,0 +1,94 @@
+"""Training entry point.
+
+SPMD equivalent of scripts/train_ddp.py: no process spawning, no NCCL —
+one Python process per host, one jitted step over the device mesh.
+
+Usage:
+  python -m poem_v2_tpu.cli.train -c configs/release/train_medium.yaml --exp_id poem_medium
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import batch_iterator, create_dataset
+from ..metrics import LossMetric, MeanEPE
+from ..models.poem import create_poem_model
+from ..parallel.mesh import create_mesh
+from ..training.trainer import Trainer
+from ..utils.config import get_config
+from ..utils.logger import get_logger
+from ..utils.recorder import Recorder
+from .opt import parse_exp_args
+
+
+def main(argv=None):
+    args = parse_exp_args(argv)
+    cfg = get_config(args.cfg, arg=args, merge=True)
+    logger = get_logger()
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model, aux = create_poem_model(cfg.MODEL, dtype=dtype)
+    mesh = create_mesh(data=args.mesh_data, model=args.mesh_model)
+    logger.info(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
+
+    batch_size = cfg.TRAIN.BATCH_SIZE
+    epoch_size = cfg.DATASET.TRAIN.get("EPOCH_SIZE", 210_000)
+    steps_per_epoch = max(1, epoch_size // batch_size)
+
+    trainer = Trainer(
+        model,
+        aux,
+        train_cfg=cfg.TRAIN,
+        loss_cfg=cfg.MODEL.LOSS,
+        mesh=mesh,
+        steps_per_epoch=steps_per_epoch,
+    )
+    recorder = Recorder(args.exp_id, cfg=cfg)
+
+    dataset = create_dataset(
+        cfg.DATASET.TRAIN,
+        data_preset=cfg.DATA_PRESET,
+        is_train=True,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+
+    def batches():
+        return batch_iterator(dataset, batch_size, args.view_max, epoch_size)
+
+    first = next(iter(batch_iterator(dataset, batch_size, args.view_max, batch_size)))
+    state = trainer.init_state({k: jnp.asarray(v) for k, v in first.items()})
+    if args.resume:
+        state = recorder.resume(state, args.resume)
+        logger.info(f"resumed from {args.resume} at step {int(state.step)}")
+
+    loss_metric = LossMetric()
+    mpjpe = MeanEPE("joints_3d")
+
+    for epoch in range(cfg.TRAIN.EPOCH):
+        t0 = time.time()
+        for step_idx, batch in enumerate(batches()):
+            state, metrics = trainer.step(state, batch)
+            loss_metric.feed({k: float(v) for k, v in metrics.items()}, batch_size)
+            if step_idx % cfg.TRAIN.LOG_INTERVAL == 0:
+                logger.info(
+                    f"epoch {epoch} step {step_idx}/{steps_per_epoch} "
+                    f"loss {float(metrics['loss']):.4f} "
+                    f"({batch_size * (step_idx + 1) / (time.time() - t0):.1f} samples/s)"
+                )
+        recorder.record_loss(loss_metric, epoch, comment="train")
+        recorder.record_checkpoint(state, epoch, snapshot_every=args.snapshot)
+        loss_metric.reset()
+        logger.info(f"epoch {epoch} done in {time.time() - t0:.1f}s")
+
+    logger.info("training finished")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -13,9 +13,14 @@ import jax
 import jax.numpy as jnp
 
 
+def _safe_norm(x: jnp.ndarray, axis=-1, keepdims=True, eps: float = 1e-24) -> jnp.ndarray:
+    """sqrt(sum(x^2)) with a zero (not NaN) gradient at x == 0."""
+    return jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=axis, keepdims=keepdims), eps))
+
+
 def aa_to_quat(axis_angle: jnp.ndarray) -> jnp.ndarray:
     """Axis-angle (..., 3) -> unit quaternion (..., 4), w-first."""
-    angle = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
+    angle = _safe_norm(axis_angle)
     half = 0.5 * angle
     # sin(x/2)/x with a stable small-angle expansion.
     small = angle < 1e-6
@@ -29,10 +34,10 @@ def aa_to_quat(axis_angle: jnp.ndarray) -> jnp.ndarray:
 
 def quat_to_aa(quat: jnp.ndarray) -> jnp.ndarray:
     """Unit quaternion (..., 4) w-first -> axis-angle (..., 3)."""
-    quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+    quat = quat / _safe_norm(quat)
     w = quat[..., :1]
     xyz = quat[..., 1:]
-    norm = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    norm = _safe_norm(xyz)
     angle = 2.0 * jnp.arctan2(norm, w)
     small = norm < 1e-6
     # angle/sin(angle/2) factor, stable near zero
@@ -42,7 +47,7 @@ def quat_to_aa(quat: jnp.ndarray) -> jnp.ndarray:
 
 def quat_to_rotmat(quat: jnp.ndarray) -> jnp.ndarray:
     """Unit quaternion (..., 4) w-first -> rotation matrix (..., 3, 3)."""
-    quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+    quat = quat / _safe_norm(quat)
     w, x, y, z = quat[..., 0], quat[..., 1], quat[..., 2], quat[..., 3]
     two = 2.0
     m = jnp.stack(

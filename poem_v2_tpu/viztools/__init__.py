@@ -1,0 +1,1 @@
+from .draw import (HAND_LINKS, denormalize_image, draw_batch_joint_images, draw_batch_verts_images, draw_joints_2d, draw_verts_2d, tile_views)

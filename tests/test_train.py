@@ -25,8 +25,7 @@ def trainer_state_batch():
         steps_per_epoch=10,
     )
     batch = tiny_batch(batch_size=8, view_max=2, image_size=64, random_views=False)
-    state = trainer.init_state(batch)
-    return trainer, state, batch
+    return trainer, batch
 
 
 def _train_cfg():
@@ -50,14 +49,16 @@ def _train_cfg():
 
 class TestTrainStep:
     def test_step_runs_on_8dev_mesh(self, trainer_state_batch):
-        trainer, state, batch = trainer_state_batch
+        trainer, batch = trainer_state_batch
+        state = trainer.init_state(batch)
         new_state, metrics = trainer.step(state, batch)
         assert int(new_state.step) == 1
         assert np.isfinite(float(metrics["loss"]))
         assert float(metrics["grad_norm"]) > 0
 
     def test_loss_decreases_overfitting_fixed_batch(self, trainer_state_batch):
-        trainer, state, batch = trainer_state_batch
+        trainer, batch = trainer_state_batch
+        state = trainer.init_state(batch)
         losses = []
         for _ in range(6):
             state, metrics = trainer.step(state, batch)
@@ -66,7 +67,8 @@ class TestTrainStep:
         assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
 
     def test_params_replicated_grads_synced(self, trainer_state_batch):
-        trainer, state, batch = trainer_state_batch
+        trainer, batch = trainer_state_batch
+        state = trainer.init_state(batch)
         new_state, _ = trainer.step(state, batch)
         # params must remain fully replicated after the step
         leaf = jax.tree_util.tree_leaves(new_state.params)[0]
@@ -77,7 +79,8 @@ class TestCheckpoint:
     def test_roundtrip(self, tmp_path, trainer_state_batch):
         from poem_v2_tpu.utils.recorder import Recorder
 
-        trainer, state, batch = trainer_state_batch
+        trainer, batch = trainer_state_batch
+        state = trainer.init_state(batch)
         state, _ = trainer.step(state, batch)
         rec = Recorder("testexp", root=str(tmp_path))
         rec.record_checkpoint(state, epoch=0)
