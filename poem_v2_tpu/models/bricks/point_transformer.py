@@ -100,22 +100,26 @@ class PtCrossAttnBlock(nn.Module):
         pre = query_feat
         q = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_qs")(query_feat)
 
+        # Linear maps commute with the gather: transform the N cloud points
+        # once, then gather K neighbours — ~(M*K)/N fewer dense FLOPs than
+        # transforming gathered neighbourhoods (the reference transforms
+        # after gathering, point_transformers.py:141-143).
+        x_full = nn.Dense(self.d_model, dtype=self.dtype, name="fc1")(features)
+        k_full = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_ks")(x_full)
+        v_full = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_vs")(x_full)
+
         if anchor_idx is not None:
             local_xyz = xyz[:, anchor_idx]  # (B, A, 3)
-            knn_feat = features[:, anchor_idx]  # (B, A, d_model)
-            local_xyz = jnp.broadcast_to(
-                local_xyz[:, None], (xyz.shape[0], query_xyz.shape[1]) + local_xyz.shape[1:]
-            )
-            knn_feat = jnp.broadcast_to(
-                knn_feat[:, None], (xyz.shape[0], query_xyz.shape[1]) + knn_feat.shape[1:]
-            )
+            k_g = k_full[:, anchor_idx]
+            v_g = v_full[:, anchor_idx]
+            B, M = xyz.shape[0], query_xyz.shape[1]
+            local_xyz = jnp.broadcast_to(local_xyz[:, None], (B, M) + local_xyz.shape[1:])
+            k_g = jnp.broadcast_to(k_g[:, None], (B, M) + k_g.shape[1:])
+            v_g = jnp.broadcast_to(v_g[:, None], (B, M) + v_g.shape[1:])
         else:
             _, idx, local_xyz = knn_points(query_xyz, xyz, self.k)
-            knn_feat = index_points(features, idx)
-
-        x = nn.Dense(self.d_model, dtype=self.dtype, name="fc1")(knn_feat)
-        k_g = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_ks")(x)
-        v_g = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_vs")(x)
+            k_g = index_points(k_full, idx)
+            v_g = index_points(v_full, idx)
 
         fc_delta = MLP(self.d_model, self.d_model, dtype=self.dtype, name="fc_delta")
         fc_gamma = MLP(self.d_model, self.d_model, dtype=self.dtype, name="fc_gamma")
