@@ -22,9 +22,9 @@ import numpy as np
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch-size", type=int, default=0, help="0 = auto sweep")
+    parser.add_argument("--batch-size", type=int, default=8, help="0 = auto sweep")
     parser.add_argument("--views", type=int, default=8)
-    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--backbone", type=str, default="resnet34")
     parser.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
     args = parser.parse_args()

