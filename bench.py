@@ -80,15 +80,11 @@ def main():
             batch["cam_intr"],
             batch["cam_extr"],
         )
-        # warmup + compile
-        out = forward(*fargs)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = forward(*fargs)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        return bs * args.iters / dt
+        # chained timing with host fetch: robust to lazy remote dispatch
+        from poem_v2_tpu.utils.benchmarking import time_fn
+
+        dt = time_fn(forward, *fargs, iters=args.iters)
+        return bs / dt
 
     if args.batch_size:
         best = run_at_batch(args.batch_size)

@@ -17,14 +17,10 @@ import numpy as np
 
 
 def timeit(fn, *args, iters=20, name=""):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name:35s} {dt * 1e3:8.2f} ms")
+    from poem_v2_tpu.utils.benchmarking import time_fn
+
+    dt = time_fn(fn, *args, iters=iters)
+    print(f"{name:35s} {dt * 1e3:8.2f} ms", flush=True)
     return dt
 
 
