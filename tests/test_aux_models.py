@@ -83,3 +83,45 @@ def test_joints_mse_loss():
     assert float(joints_mse_loss(a, b)) == 0.5
     vis = jnp.zeros((2, 21))
     assert float(joints_mse_loss(a, b, vis)) == 0.0
+
+
+def test_metro_forward():
+    from poem_v2_tpu.models.metro import create_metro_model
+
+    cfg = Config(
+        {
+            "BACKBONE": {"TYPE": "resnet18", "NORM": "gn"},
+            "INPUT_FEAT_DIM": [515, 128, 32],
+            "HIDDEN_FEAT_DIM": [256, 64, 16],
+        }
+    )
+    model, aux = create_metro_model(cfg)
+    img = jnp.zeros((2, 64, 64, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, img)
+    out = model.apply(variables, img)
+    assert out["pred_verts_3d_rel"].shape == (2, 778, 3)
+    assert out["pred_joints_3d_rel"].shape == (2, 21, 3)
+    assert out["pred_cam"].shape == (2, 3)
+
+
+def test_cmr_forward():
+    from poem_v2_tpu.models.cmr import create_cmr_model
+
+    model, aux = create_cmr_model()
+    img = jnp.zeros((2, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), img)
+    out = model.apply(variables, img)
+    assert out["pred_verts_3d_rel"].shape == (2, 778, 3)
+    assert np.isfinite(np.asarray(out["pred_verts_3d_rel"])).all()
+
+
+def test_mesh_hierarchy_properties():
+    from poem_v2_tpu.models.cmr import build_mesh_hierarchy
+
+    v = np.random.RandomState(0).randn(778, 3).astype(np.float32)
+    verts, spirals, ups = build_mesh_hierarchy(v)
+    assert [x.shape[0] for x in verts] == [778, 389, 194, 97]
+    assert spirals[0].shape == (778, 9)
+    assert ups[0].shape == (778, 389)
+    # upsample rows are convex combinations
+    np.testing.assert_allclose(ups[0].sum(1), np.ones(778), atol=1e-5)
