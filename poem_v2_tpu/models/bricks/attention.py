@@ -19,15 +19,65 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
+def _flash_cross_attention(q, k, v, sm_scale: float):
+    """Pallas TPU flash attention for (B, Q, nh, hd) tensors.
+
+    Avoids materializing the (B, nh, Q, N) logits in HBM — at POEM sizes
+    (799 queries x 4096 BPS keys x 6 attentions/sample) that is the
+    decoder's main bandwidth cost. Q is padded to the kernel's block
+    multiple and un-padded afterwards.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    B, Q, nh, hd = q.shape
+    N = k.shape[1]
+    qt = jnp.swapaxes(q, 1, 2)  # (B, nh, Q, hd)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+
+    block_q = 512
+    q_pad = (-Q) % block_q
+    if q_pad:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, q_pad), (0, 0)))
+    bs = BlockSizes(
+        block_q=min(block_q, qt.shape[2]),
+        block_k_major=min(1024, N),
+        block_k=min(1024, N),
+        block_b=1,
+        block_q_major_dkv=min(block_q, qt.shape[2]),
+        block_k_major_dkv=min(1024, N),
+        block_k_dkv=min(1024, N),
+        block_q_dkv=min(block_q, qt.shape[2]),
+        block_k_major_dq=min(1024, N),
+        block_k_dq=min(1024, N),
+        block_q_dq=min(block_q, qt.shape[2]),
+    )
+    out = flash_attention(qt, kt, vt, sm_scale=sm_scale, block_sizes=bs)
+    if q_pad:
+        out = out[:, :, :Q]
+    return jnp.swapaxes(out, 1, 2)  # (B, Q, nh, hd)
+
+
 class MultiHeadCrossAttention(nn.Module):
-    """BERT-style attention: MHA + output proj + dropout + residual + LayerNorm."""
+    """BERT-style attention: MHA + output proj + dropout + residual + LayerNorm.
+
+    ``use_flash`` routes the softmax(QK)V through the Pallas TPU flash
+    kernel when it applies (eval / no kv-mask / TPU backend); training
+    keeps the einsum path so attention-probability dropout matches the
+    reference BertSelfAttention semantics.
+    """
 
     hidden_size: int = 256
     num_heads: int = 4
     dropout: float = 0.1
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -52,12 +102,17 @@ class MultiHeadCrossAttention(nn.Module):
         k = k.reshape(B, N, nh, hd)
         v = v.reshape(B, N, nh, hd)
 
-        logits = jnp.einsum("bqhd,bnhd->bhqn", q, k) / jnp.sqrt(hd).astype(self.dtype)
-        if kv_mask is not None:
-            logits = jnp.where(kv_mask[:, None, None, :], logits, -1e9)
-        probs = nn.softmax(logits, axis=-1)
-        probs = nn.Dropout(self.dropout, deterministic=deterministic)(probs)
-        ctx = jnp.einsum("bhqn,bnhd->bqhd", probs, v).reshape(B, Q, h)
+        use_flash = self.use_flash and deterministic and kv_mask is None
+        if use_flash:
+            ctx = _flash_cross_attention(q, k, v, sm_scale=1.0 / float(hd) ** 0.5)
+            ctx = ctx.reshape(B, Q, h).astype(self.dtype)
+        else:
+            logits = jnp.einsum("bqhd,bnhd->bhqn", q, k) / jnp.sqrt(hd).astype(self.dtype)
+            if kv_mask is not None:
+                logits = jnp.where(kv_mask[:, None, None, :], logits, -1e9)
+            probs = nn.softmax(logits, axis=-1)
+            probs = nn.Dropout(self.dropout, deterministic=deterministic)(probs)
+            ctx = jnp.einsum("bhqn,bnhd->bqhd", probs, v).reshape(B, Q, h)
 
         out = nn.Dense(h, dtype=self.dtype, name="out")(ctx)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)

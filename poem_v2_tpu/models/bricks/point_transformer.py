@@ -45,6 +45,7 @@ class PtSelfAttnBlock(nn.Module):
     d_points: int
     d_model: int
     k: int
+    approx_knn: bool = True  # TPU approx_max_k: ~4x faster top-k, recall ~0.95
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -69,7 +70,7 @@ class PtSelfAttnBlock(nn.Module):
             k_g = jnp.broadcast_to(k_g, (x.shape[0], x.shape[1]) + k_g.shape[2:])
             v_g = jnp.broadcast_to(v_g, (x.shape[0], x.shape[1]) + v_g.shape[2:])
         else:
-            _, idx, local_xyz = knn_points(xyz, xyz, self.k)
+            _, idx, local_xyz = knn_points(xyz, xyz, self.k, approx=self.approx_knn)
             k_g = index_points(ks, idx)
             v_g = index_points(vs, idx)
 
@@ -86,6 +87,7 @@ class PtCrossAttnBlock(nn.Module):
     d_points: int
     d_model: int
     k: int
+    approx_knn: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -117,7 +119,7 @@ class PtCrossAttnBlock(nn.Module):
             k_g = jnp.broadcast_to(k_g[:, None], (B, M) + k_g.shape[1:])
             v_g = jnp.broadcast_to(v_g[:, None], (B, M) + v_g.shape[1:])
         else:
-            _, idx, local_xyz = knn_points(query_xyz, xyz, self.k)
+            _, idx, local_xyz = knn_points(query_xyz, xyz, self.k, approx=self.approx_knn)
             k_g = index_points(k_full, idx)
             v_g = index_points(v_full, idx)
 

@@ -93,6 +93,7 @@ class PointMetroBlock(nn.Module):
     final_block: bool = False
     parametric_output: bool = False
     deterministic: bool = True
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -112,10 +113,12 @@ class PointMetroBlock(nn.Module):
         k_emb = drop(embed(pt_feats))
 
         attn_out = MultiHeadCrossAttention(
-            self.hidden_size, self.num_heads, self.dropout, dtype=self.dtype, name="attn"
+            self.hidden_size, self.num_heads, self.dropout, use_flash=self.use_flash,
+            dtype=self.dtype, name="attn"
         )(q_emb, k_emb, deterministic=deterministic)
         attn_out = MultiHeadCrossAttention(
-            self.hidden_size, self.num_heads, self.dropout, dtype=self.dtype, name="cross_attn"
+            self.hidden_size, self.num_heads, self.dropout, use_flash=self.use_flash,
+            dtype=self.dtype, name="cross_attn"
         )(attn_out, k_emb, deterministic=deterministic)
 
         query_feats_new, query_xyz_new = PointerLayer(
@@ -160,6 +163,7 @@ class PtEmbedDecoder(nn.Module):
     n_neighbor_query: int = 32
     parametric_output: bool = False
     remat: bool = True
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @classmethod
@@ -201,6 +205,7 @@ class PtEmbedDecoder(nn.Module):
                 final_block=(i == self.n_blocks - 1),
                 parametric_output=self.parametric_output,
                 deterministic=deterministic,
+                use_flash=self.use_flash,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )

@@ -30,7 +30,7 @@ import numpy as np
 
 from ...geometry.camera import project_world_to_pixel
 from ...geometry.rotations import rot6d_to_aa
-from ...ops.sampling import grid_sample_points, pixel_to_grid
+from ...ops.sampling import grid_sample_points, grid_sample_points_matmul, pixel_to_grid
 from ...utils.registry import HEAD
 from ..bricks.attention import MLP
 from ..decoder import PtEmbedDecoder
@@ -115,6 +115,7 @@ class POEMGeneralizedHead(nn.Module):
     dropout: float = 0.1
     n_neighbor: int = 32
     n_neighbor_query: int = 32
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -149,7 +150,9 @@ class POEMGeneralizedHead(nn.Module):
         proj = project_world_to_pixel(bps_world, cam_extr.astype(f32), cam_intr.astype(f32))
         grid = pixel_to_grid(proj, inp_res)  # (B, V, N, 2) in [-1, 1]
 
-        feats_flat = grid_sample_points(
+        # bilinear gather as one MXU matmul (see ops/sampling.py) — the
+        # 4-tap dynamic gather is ~6x slower on TPU at these sizes
+        feats_flat = grid_sample_points_matmul(
             x.reshape(B * V, H, W, self.embed_dims), grid.reshape(B * V, self.nsample, 2).astype(x.dtype)
         )  # (B*V, N, C)
         bps_feats = feats_flat.reshape(B, V, self.nsample, self.embed_dims)
@@ -180,6 +183,7 @@ class POEMGeneralizedHead(nn.Module):
             n_neighbor=self.n_neighbor,
             n_neighbor_query=self.n_neighbor_query,
             parametric_output=self.parametric_output,
+            use_flash=self.use_flash,
             dtype=self.dtype,
             name="transformer",
         )

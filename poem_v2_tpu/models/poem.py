@@ -126,7 +126,17 @@ class POEMNet(nn.Module):
         return preds
 
 
-def create_poem_model(cfg: Config, dtype=jnp.float32) -> Tuple[POEMNet, Dict[str, Any]]:
+def _default_use_flash() -> bool:
+    """Pallas flash attention only lowers on real TPU backends."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform not in ("cpu",)
+    return jax.default_backend() not in ("cpu",)
+
+
+def create_poem_model(
+    cfg: Config, dtype=jnp.float32, use_flash: bool = None
+) -> Tuple[POEMNet, Dict[str, Any]]:
     """Build a POEMNet + auxiliary constants from a reference-schema config.
 
     Returns (model, aux) where aux carries the MANO layer (for losses /
@@ -151,6 +161,8 @@ def create_poem_model(cfg: Config, dtype=jnp.float32) -> Tuple[POEMNet, Dict[str
     else:
         raise ValueError(f"Unsupported backbone {bb_type!r} for POEM")
 
+    if use_flash is None:
+        use_flash = _default_use_flash()
     nsample = head_cfg.N_SAMPLE
     radius = head_cfg.RADIUS_SAMPLE
     parametric = tr_cfg.get("PARAMETRIC_OUTPUT", False)
@@ -191,6 +203,7 @@ def create_poem_model(cfg: Config, dtype=jnp.float32) -> Tuple[POEMNet, Dict[str
         dropout=tr_cfg.get("DROPOUT", 0.1),
         n_neighbor=tr_cfg.N_NEIGHBOR,
         n_neighbor_query=tr_cfg.N_NEIGHBOR_QUERY,
+        use_flash=use_flash,
         dtype=dtype,
     )
 

@@ -13,6 +13,7 @@ H*W axis; XLA fuses the address computation and the lerp into one pass.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -56,6 +57,49 @@ def grid_sample_points(feat: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     top = v00 * (1 - fx) + v01 * fx
     bottom = v10 * (1 - fx) + v11 * fx
     return top * (1 - fy) + bottom * fy
+
+
+def grid_sample_points_matmul(feat: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling as one MXU matmul (same contract as
+    :func:`grid_sample_points`).
+
+    Builds the (N, H*W) bilinear interpolation matrix from broadcasted
+    index comparisons and contracts it with the flattened feature map —
+    the classic TPU trade of an irregular gather for a dense matmul.
+    At POEM sizes (4096 points x 1024 cells x 256 ch) this is ~2 GFLOP
+    per image of pure MXU work and beats the 4-tap dynamic gather by a
+    large factor.
+    """
+    B, H, W, C = feat.shape
+    N = coords.shape[1]
+    x = coords[..., 0].astype(jnp.float32)
+    y = coords[..., 1].astype(jnp.float32)
+    ix = ((x + 1.0) * W - 1.0) * 0.5
+    iy = ((y + 1.0) * H - 1.0) * 0.5
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    fx = ix - ix0
+    fy = iy - iy0
+
+    cols_x = jax.lax.broadcasted_iota(jnp.int32, (1, 1, H * W), 2) % W
+    cols_y = jax.lax.broadcasted_iota(jnp.int32, (1, 1, H * W), 2) // W
+
+    weight = jnp.zeros((B, N, H * W), dtype=jnp.float32)
+    for dx, wx in ((0, 1.0 - fx), (1, fx)):
+        px = ix0 + dx
+        in_x = (px >= 0) & (px <= W - 1)
+        for dy, wy in ((0, 1.0 - fy), (1, fy)):
+            py = iy0 + dy
+            in_y = (py >= 0) & (py <= H - 1)
+            match = (cols_x == px[..., None].astype(jnp.int32)) & (
+                cols_y == py[..., None].astype(jnp.int32)
+            )
+            w = (wx * wy * (in_x & in_y)).astype(jnp.float32)
+            weight = weight + match.astype(jnp.float32) * w[..., None]
+
+    flat = feat.reshape(B, H * W, C)
+    out = jnp.einsum("bnm,bmc->bnc", weight.astype(feat.dtype), flat)
+    return out
 
 
 def pixel_to_grid(uv: jnp.ndarray, inp_res) -> jnp.ndarray:
