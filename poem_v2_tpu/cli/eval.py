@@ -62,6 +62,10 @@ def main(argv=None):
         cb = AUCCallback(exp_dir=recorder.dump_path)
     elif args.eval_extra == "save":
         cb = PredictionSaverCallback(exp_dir=recorder.dump_path)
+    elif args.eval_extra == "draw":
+        from ..training.draw_callback import DrawingHandCallback
+
+        cb = DrawingHandCallback(exp_dir=recorder.dump_path)
     else:
         cb = IdleCallback()
 

@@ -27,4 +27,6 @@ def parse_exp_args(argv=None):
     p.add_argument("--mesh_data", type=int, default=None, help="data-parallel mesh size")
     p.add_argument("--mesh_model", type=int, default=1, help="model-parallel mesh size")
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() (multi-host SPMD)")
     return p.parse_args(argv)

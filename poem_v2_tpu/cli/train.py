@@ -28,6 +28,9 @@ from .opt import parse_exp_args
 
 def main(argv=None):
     args = parse_exp_args(argv)
+    if getattr(args, "multihost", False):
+        # multi-host SPMD: one process per host, JAX runtime forms the mesh
+        jax.distributed.initialize()
     cfg = get_config(args.cfg, arg=args, merge=True)
     logger = get_logger()
 

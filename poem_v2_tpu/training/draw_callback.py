@@ -1,0 +1,76 @@
+"""Drawing eval callback: render predictions over every view.
+
+Equivalent of the reference ``DrawingHandCallback``
+(lib/utils/testing.py:101-193) — where the reference rasterises the
+predicted and GT meshes with OpenDR per view, this projects the
+predicted/GT joints and vertices into each valid view with the batched
+camera ops and draws 2D overlays host-side (cv2), writing one composite
+image per sample. Mesh rasterisation stays off-TPU by design.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+
+from ..geometry.camera import cam_extr_transf, cam_intr_projection, invert_rigid
+from .evaluator import IdleCallback
+
+
+class DrawingHandCallback(IdleCallback):
+    def __init__(self, exp_dir: str, max_samples: int = 64):
+        self.exp_dir = os.path.join(exp_dir, "draws")
+        os.makedirs(self.exp_dir, exist_ok=True)
+        self.max_samples = max_samples
+        self._drawn = 0
+
+    def __call__(self, preds: Dict, batch: Dict, step_idx: int, **kwargs):
+        if self._drawn >= self.max_samples:
+            return
+        import jax.numpy as jnp
+
+        from ..viztools.draw import denormalize_image, draw_joints_2d, draw_verts_2d, tile_views
+
+        images = np.asarray(batch["image"])  # (B, V, H, W, 3)
+        vm = np.asarray(batch["view_mask"])
+        extr = jnp.asarray(batch["cam_extr"])
+        intr = jnp.asarray(batch["cam_intr"])
+        m2c = invert_rigid(extr)
+
+        pred_j = jnp.asarray(preds["pred_joints_3d"])
+        pred_v = jnp.asarray(preds["pred_verts_3d"])
+        gt_j = jnp.asarray(batch["master_joints_3d"])
+
+        pj2d = np.asarray(cam_intr_projection(intr, cam_extr_transf(m2c, pred_j[:, None])))
+        pv2d = np.asarray(cam_intr_projection(intr, cam_extr_transf(m2c, pred_v[:, None])))
+        gj2d = np.asarray(cam_intr_projection(intr, cam_extr_transf(m2c, gt_j[:, None])))
+
+        B, V = vm.shape
+        for b in range(B):
+            if self._drawn >= self.max_samples:
+                break
+            panels = []
+            for v in range(V):
+                if not vm[b, v]:
+                    continue
+                img = denormalize_image(images[b, v])
+                img = draw_verts_2d(img, pv2d[b, v])
+                img = draw_joints_2d(img, pj2d[b, v])
+                img = draw_joints_2d(img, gj2d[b, v], color_override=(64, 64, 255), radius=1)
+                panels.append(img)
+            grid = tile_views(np.stack(panels), cols=min(4, len(panels)))
+            try:
+                import cv2
+
+                cv2.imwrite(
+                    os.path.join(self.exp_dir, f"step{step_idx:05d}_s{b}.png"),
+                    cv2.cvtColor(grid, cv2.COLOR_RGB2BGR),
+                )
+            except Exception:
+                pass
+            self._drawn += 1
+
+    def on_finished(self):
+        pass

@@ -51,4 +51,10 @@ def build_optimizer(cfg, steps_per_epoch: int = 1) -> optax.GradientTransformati
         norm = clip.get("NORM", 1.0) if hasattr(clip, "get") else 1.0
         chain.append(optax.clip_by_global_norm(norm))
     chain.append(opt)
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+
+    # optional gradient accumulation (absent in the reference, SURVEY §2.3)
+    accum = cfg.get("GRAD_ACCUM_STEPS", 1)
+    if accum and accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=int(accum))
+    return tx

@@ -30,6 +30,8 @@ class Recorder:
         timestamp: Optional[str] = None,
     ):
         self.exp_id = exp_id
+        if exp_id not in ("default", "tmp") and not eval_only:
+            self._assert_clean_git()
         ts = timestamp or time.strftime("%Y_%m%d_%H%M_%S")
         self.dump_path = os.path.join(root, f"{exp_id}_{ts}")
         self.eval_only = eval_only
@@ -42,6 +44,22 @@ class Recorder:
         ) if jax.process_index() == 0 else get_logger()
         if cfg is not None:
             self.dump_cfg(cfg)
+
+    @staticmethod
+    def _assert_clean_git() -> None:
+        """Named experiments require a clean tree (reference recorder.py:38)."""
+        import subprocess
+
+        try:
+            out = subprocess.run(
+                ["git", "status", "--porcelain"], capture_output=True, text=True, timeout=10
+            )
+        except Exception:
+            return
+        if out.returncode == 0 and out.stdout.strip():
+            raise RuntimeError(
+                "git tree is dirty; commit your changes or use --exp_id default"
+            )
 
     @master_only
     def dump_cfg(self, cfg) -> None:
