@@ -268,3 +268,124 @@ def create_petr_model(cfg, dtype=jnp.float32):
         dtype=dtype,
     )
     return model, {"mano_layer": ManoLayer(center_idx=None)}
+
+
+class FTLayer(nn.Module):
+    """Feature Transform Layer (reference petr_FTL_head.py:45-72):
+    lift feature channels into per-depth 3D point triplets, map them
+    camera->world with P^-1, mix, map back world->camera with P, project
+    back to feature channels. All 1x1 convs + tiny matmuls."""
+
+    embed_dims: int = 256
+    depth: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, cam_intr, cam_extr):
+        # feat: (B, V, H, W, C)
+        B, V, H, W, C = feat.shape
+        d = self.depth
+
+        def cam_p_transf(p, x):  # p: (B, V, 3, 4); x: (B, V, M, 3)
+            x_h = jnp.concatenate([x, jnp.ones_like(x[..., :1])], axis=-1)
+            return jnp.einsum("bvij,bvmj->bvmi", p, x_h)
+
+        from ..geometry.camera import invert_rigid
+
+        intr_h = cam_intr.astype(jnp.float32)
+        p_inv = jnp.einsum(
+            "bvij,bvjk->bvik", jnp.linalg.inv(intr_h), cam_extr[..., :3, :].astype(jnp.float32)
+        )
+        p_fwd = jnp.einsum(
+            "bvij,bvjk->bvik", intr_h, invert_rigid(cam_extr.astype(jnp.float32))[..., :3, :]
+        )
+
+        x = nn.Conv(3 * d, (1, 1), dtype=self.dtype, name="conv1")(feat)
+        x = nn.relu(nn.LayerNorm(dtype=self.dtype, name="ln1")(x))
+        pts = x.reshape(B, V, H * W * d, 3).astype(jnp.float32)
+        pts = cam_p_transf(p_inv, pts)  # camera -> world triplets
+
+        x = pts.reshape(B, V, H, W, 3 * d).astype(self.dtype)
+        x = nn.Conv(3 * d, (1, 1), dtype=self.dtype, name="conv2")(x)
+        x = nn.relu(nn.LayerNorm(dtype=self.dtype, name="ln2")(x))
+
+        pts = x.reshape(B, V, H * W * d, 3).astype(jnp.float32)
+        pts = cam_p_transf(p_fwd, pts)  # world -> camera
+        x = pts.reshape(B, V, H, W, 3 * d).astype(self.dtype)
+        x = nn.Conv(self.embed_dims, (1, 1), dtype=self.dtype, name="conv3")(x)
+        return nn.LayerNorm(dtype=self.dtype, name="ln3")(x)
+
+
+@HEAD.register_module("PETRHead_FTL")
+class PETRHeadFTL(PETRHead):
+    """PETR head with the feature-transform-layer memory
+    (reference lib/models/heads/petr_FTL_head.py:27-124): image tokens
+    are geometry-mixed by FTL instead of carrying a frustum embedding,
+    and queries come from sine-embedded reference points only."""
+
+    @nn.compact
+    def __call__(
+        self,
+        feat,
+        view_mask,
+        cam_intr,
+        cam_extr,
+        template_mesh,
+        inp_res=(256, 256),
+        deterministic: bool = True,
+    ):
+        B, V, H, W, _ = feat.shape
+        x = nn.Conv(self.embed_dims, (1, 1), dtype=self.dtype, name="input_proj")(feat)
+
+        sin = sine_positional_encoding_3d(view_mask, H, W, num_feats=self.pe_num_feats)
+        sin = nn.Conv(self.embed_dims * 4, (1, 1), dtype=self.dtype, name="adapt_pos3d_1")(
+            sin.astype(self.dtype)
+        )
+        sin = nn.relu(sin)
+        pos_embed = nn.Conv(self.embed_dims, (1, 1), dtype=self.dtype, name="adapt_pos3d_2")(sin)
+
+        ftl = FTLayer(self.embed_dims, self.depth_num, dtype=self.dtype, name="ftl")(
+            x, cam_intr, cam_extr
+        )
+
+        memory = ftl.reshape(B, V * H * W, self.embed_dims)
+        memory_pos = pos_embed.reshape(B, V * H * W, self.embed_dims)
+        token_mask = jnp.repeat(view_mask, H * W, axis=1)
+
+        reference_points = self.param(
+            "reference_points", nn.initializers.uniform(scale=1.0), (self.num_query, 3)
+        )
+        q_in = pos2posemb3d(reference_points, self.embed_dims // 2)
+        query_embed = nn.Dense(self.embed_dims, dtype=self.dtype, name="query_embedding_1")(
+            q_in.astype(self.dtype)
+        )
+        query_embed = nn.relu(query_embed)
+        query_embed = nn.Dense(self.embed_dims, dtype=self.dtype, name="query_embedding_2")(
+            query_embed
+        )
+        query_embed = jnp.broadcast_to(query_embed[None], (B,) + query_embed.shape)
+
+        outs = PETRTransformer(
+            self.embed_dims, self.num_preds, self.num_heads, self.dropout,
+            dtype=self.dtype, name="transformer",
+        )(memory, memory_pos, token_mask, query_embed, deterministic)
+        outs = jnp.nan_to_num(outs.astype(jnp.float32))
+
+        ref_sig = nn.sigmoid(jnp.broadcast_to(reference_points[None], (B, self.num_query, 3)))
+        coords = []
+        for lvl in range(self.num_preds):
+            h = outs[lvl]
+            for i in range(self.num_reg_fcs):
+                h = nn.Dense(self.embed_dims, dtype=self.dtype, name=f"reg_{lvl}_fc{i}")(
+                    h.astype(self.dtype)
+                )
+                h = nn.relu(h)
+            delta = nn.Dense(3, dtype=self.dtype, name=f"reg_{lvl}_out")(h).astype(jnp.float32)
+            if self.coord_relative:
+                coords.append(nn.sigmoid(delta + inverse_sigmoid(ref_sig)))
+            else:
+                coords.append(nn.sigmoid(delta))
+        all_coords = jnp.stack(coords)
+        pr = jnp.asarray(self.position_range, dtype=jnp.float32)
+        all_coords = all_coords * (pr[3:] - pr[:3]) + pr[:3]
+        return {"all_coords_preds": all_coords}
