@@ -9,10 +9,13 @@ KNN/FPS calls become one MXU distance matmul + top-k
 "IFPS" init block, point_transformers.py:10-32) takes a static anchor
 index set instead of loading assets from disk inside the layer.
 
-The reference wraps both blocks in ``torch.utils.checkpoint`` during
-training (point_transformers.py:63-66); here the caller applies
-``jax.checkpoint`` over whole decoder blocks instead, which trades the
-same activations for recompute under XLA.
+The attention core (fc_delta position MLP, fc_gamma scoring MLP, softmax
+over K, aggregate) runs either as pure XLA
+(:func:`poem_v2_tpu.ops.pallas_vector_attn.vector_attention_reference`,
+used for training — autodiff replaces the reference's torch.checkpoint)
+or as one fused Pallas kernel
+(:func:`...fused_vector_attention`, eval/serving) that keeps every
+(M, K, D) intermediate in VMEM.
 """
 
 from __future__ import annotations
@@ -22,21 +25,26 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ...ops.pallas_vector_attn import fused_vector_attention, vector_attention_reference
 from ...ops.points import index_points, knn_points
-from .attention import MLP
 
 
-def _vector_attention(
-    q: jnp.ndarray,  # (B, M, D)
-    k: jnp.ndarray,  # (B, M, K, D)
-    v: jnp.ndarray,  # (B, M, K, D)
-    pos_enc: jnp.ndarray,  # (B, M, K, D)
-    gamma: nn.Module,
-) -> jnp.ndarray:
-    """Subtraction attention: softmax_K(gamma(q - k + pos)) * (v + pos)."""
-    attn = gamma(q[:, :, None] - k + pos_enc)  # (B, M, K, D)
-    attn = nn.softmax(attn / jnp.sqrt(k.shape[-1]).astype(k.dtype), axis=-2)
-    return jnp.einsum("bmkd,bmkd->bmd", attn, v + pos_enc)
+def _mlp_params(module: nn.Module, name: str, d_in: int, d_model: int):
+    """Two-layer MLP parameters (Dense -> relu -> Dense), declared raw so
+    the fused kernel and the XLA path share them."""
+    w1 = module.param(f"{name}_w1", nn.initializers.lecun_normal(), (d_in, d_model))
+    b1 = module.param(f"{name}_b1", nn.initializers.zeros, (d_model,))
+    w2 = module.param(f"{name}_w2", nn.initializers.lecun_normal(), (d_model, d_model))
+    b2 = module.param(f"{name}_b2", nn.initializers.zeros, (d_model,))
+    return w1, b1, w2, b2
+
+
+def _run_vector_attention(q, k_g, v_g, delta, fc_delta, fc_gamma, use_fused, dtype):
+    fc_delta = tuple(p.astype(dtype) for p in fc_delta)
+    fc_gamma = tuple(p.astype(dtype) for p in fc_gamma)
+    if use_fused:
+        return fused_vector_attention(q, k_g, v_g, delta.astype(dtype), fc_delta, fc_gamma)
+    return vector_attention_reference(q, k_g, v_g, delta.astype(dtype), fc_delta, fc_gamma)
 
 
 class PtSelfAttnBlock(nn.Module):
@@ -46,6 +54,7 @@ class PtSelfAttnBlock(nn.Module):
     d_model: int
     k: int
     approx_knn: bool = True  # TPU approx_max_k: ~4x faster top-k, recall ~0.95
+    use_fused: bool = False  # Pallas fused attention core (eval path)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -63,21 +72,21 @@ class PtSelfAttnBlock(nn.Module):
 
         if anchor_idx is not None:
             # fixed shared anchors: every point attends to the same subset
-            local_xyz = xyz[:, anchor_idx][:, None]  # (B, 1, A, 3)
-            k_g = ks[:, anchor_idx][:, None]  # (B, 1, A, D)
-            v_g = vs[:, anchor_idx][:, None]
-            local_xyz = jnp.broadcast_to(local_xyz, (xyz.shape[0], xyz.shape[1]) + local_xyz.shape[2:])
-            k_g = jnp.broadcast_to(k_g, (x.shape[0], x.shape[1]) + k_g.shape[2:])
-            v_g = jnp.broadcast_to(v_g, (x.shape[0], x.shape[1]) + v_g.shape[2:])
+            B, M = xyz.shape[0], xyz.shape[1]
+            local_xyz = jnp.broadcast_to(
+                xyz[:, anchor_idx][:, None], (B, M, anchor_idx.shape[0], 3)
+            )
+            k_g = jnp.broadcast_to(ks[:, anchor_idx][:, None], (B, M) + (anchor_idx.shape[0], self.d_model))
+            v_g = jnp.broadcast_to(vs[:, anchor_idx][:, None], (B, M) + (anchor_idx.shape[0], self.d_model))
         else:
             _, idx, local_xyz = knn_points(xyz, xyz, self.k, approx=self.approx_knn)
             k_g = index_points(ks, idx)
             v_g = index_points(vs, idx)
 
-        fc_delta = MLP(self.d_model, self.d_model, dtype=self.dtype, name="fc_delta")
-        fc_gamma = MLP(self.d_model, self.d_model, dtype=self.dtype, name="fc_gamma")
-        pos_enc = fc_delta(xyz[:, :, None] - local_xyz)
-        res = _vector_attention(q, k_g, v_g, pos_enc, fc_gamma)
+        fc_delta = _mlp_params(self, "fc_delta", 3, self.d_model)
+        fc_gamma = _mlp_params(self, "fc_gamma", self.d_model, self.d_model)
+        delta = xyz[:, :, None] - local_xyz
+        res = _run_vector_attention(q, k_g, v_g, delta, fc_delta, fc_gamma, self.use_fused, self.dtype)
         return nn.Dense(self.d_points, dtype=self.dtype, name="fc2")(res) + pre
 
 
@@ -88,6 +97,7 @@ class PtCrossAttnBlock(nn.Module):
     d_model: int
     k: int
     approx_knn: bool = True
+    use_fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -111,20 +121,18 @@ class PtCrossAttnBlock(nn.Module):
         v_full = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_vs")(x_full)
 
         if anchor_idx is not None:
-            local_xyz = xyz[:, anchor_idx]  # (B, A, 3)
-            k_g = k_full[:, anchor_idx]
-            v_g = v_full[:, anchor_idx]
             B, M = xyz.shape[0], query_xyz.shape[1]
-            local_xyz = jnp.broadcast_to(local_xyz[:, None], (B, M) + local_xyz.shape[1:])
-            k_g = jnp.broadcast_to(k_g[:, None], (B, M) + k_g.shape[1:])
-            v_g = jnp.broadcast_to(v_g[:, None], (B, M) + v_g.shape[1:])
+            A = anchor_idx.shape[0]
+            local_xyz = jnp.broadcast_to(xyz[:, anchor_idx][:, None], (B, M, A, 3))
+            k_g = jnp.broadcast_to(k_full[:, anchor_idx][:, None], (B, M, A, self.d_model))
+            v_g = jnp.broadcast_to(v_full[:, anchor_idx][:, None], (B, M, A, self.d_model))
         else:
             _, idx, local_xyz = knn_points(query_xyz, xyz, self.k, approx=self.approx_knn)
             k_g = index_points(k_full, idx)
             v_g = index_points(v_full, idx)
 
-        fc_delta = MLP(self.d_model, self.d_model, dtype=self.dtype, name="fc_delta")
-        fc_gamma = MLP(self.d_model, self.d_model, dtype=self.dtype, name="fc_gamma")
-        pos_enc = fc_delta(query_xyz[:, :, None] - local_xyz)
-        res = _vector_attention(q, k_g, v_g, pos_enc, fc_gamma)
+        fc_delta = _mlp_params(self, "fc_delta", 3, self.d_model)
+        fc_gamma = _mlp_params(self, "fc_gamma", self.d_model, self.d_model)
+        delta = query_xyz[:, :, None] - local_xyz
+        res = _run_vector_attention(q, k_g, v_g, delta, fc_delta, fc_gamma, self.use_fused, self.dtype)
         return nn.Dense(self.d_points, dtype=self.dtype, name="fc2")(res) + pre

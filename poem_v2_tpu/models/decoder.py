@@ -46,6 +46,7 @@ class PointerLayer(nn.Module):
     n_neighbor: int
     n_neighbor_query: int
     init_block: bool
+    use_fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -65,6 +66,7 @@ class PointerLayer(nn.Module):
             d_points=self.feat_dim,
             d_model=self.feat_dim,
             k=self.n_neighbor_query,
+            use_fused=self.use_fused,
             dtype=self.dtype,
             name="query_self_attn",
         )(query_xyz, query_feat, anchor_idx=self_anchors)
@@ -73,6 +75,7 @@ class PointerLayer(nn.Module):
             d_points=self.feat_dim,
             d_model=self.feat_dim,
             k=self.n_neighbor,
+            use_fused=self.use_fused,
             dtype=self.dtype,
             name="query_cross_attn",
         )(pt_xyz, pt_feats, query_xyz, query_feat, anchor_idx=cross_anchors)
@@ -126,6 +129,7 @@ class PointMetroBlock(nn.Module):
             n_neighbor=self.n_neighbor,
             n_neighbor_query=self.n_neighbor_query,
             init_block=self.init_block,
+            use_fused=self.use_flash and self.deterministic,
             dtype=self.dtype,
             name="vec_attn",
         )(pt_xyz, k_emb, query_xyz, attn_out, query_anchor_idx, pt_anchor_idx)

@@ -30,7 +30,8 @@ class Recorder:
         timestamp: Optional[str] = None,
     ):
         self.exp_id = exp_id
-        if exp_id not in ("default", "tmp") and not eval_only:
+        skip_git = os.environ.get("POEM_SKIP_GIT_CHECK") == "1"
+        if exp_id not in ("default", "tmp") and not eval_only and not skip_git:
             self._assert_clean_git()
         ts = timestamp or time.strftime("%Y_%m%d_%H%M_%S")
         self.dump_path = os.path.join(root, f"{exp_id}_{ts}")

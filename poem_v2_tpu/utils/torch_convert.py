@@ -109,8 +109,14 @@ def convert_decoder_block(state: Dict, prefix: str, params: Dict, block: str) ->
         put(base + "w_ks.weight", ["vec_attn", j_sub, "w_ks"])
         put(base + "w_vs.weight", ["vec_attn", j_sub, "w_vs"])
         for mlp in ("fc_delta", "fc_gamma"):
-            put(base + f"{mlp}.0.weight", ["vec_attn", j_sub, mlp, "Dense_0"])
-            put(base + f"{mlp}.2.weight", ["vec_attn", j_sub, mlp, "Dense_1"])
+            for layer, suffix in (("0", "1"), ("2", "2")):
+                wkey = base + f"{mlp}.{layer}.weight"
+                if wkey in state:
+                    set_in_tree(params, [block, "vec_attn", j_sub, f"{mlp}_w{suffix}"],
+                                convert_linear(state[wkey]))
+                    set_in_tree(params, [block, "vec_attn", j_sub, f"{mlp}_b{suffix}"],
+                                _t2n(state[wkey.replace("weight", "bias")]))
+                    used.extend([wkey, wkey.replace("weight", "bias")])
     put(va + "reg_branch.0.weight", ["vec_attn", "reg_branch", "Dense_0"])
     put(va + "reg_branch.2.weight", ["vec_attn", "reg_branch", "Dense_1"])
 

@@ -70,7 +70,7 @@ def main():
     timeit(jax.jit(grid_sample_points), fmap, pts, name="grid_sample 4096pts")
 
     # --- decoder -------------------------------------------------------------
-    dec = PtEmbedDecoder(n_blocks=3, hidden_size=256, dtype=dtype)
+    dec = PtEmbedDecoder(n_blocks=3, hidden_size=256, use_flash=True, dtype=dtype)
     qx = jax.random.normal(rng, (B, 799, 3))
     qf = jax.random.normal(rng, (B, 799, 256), dtype=dtype)
     px = jax.random.normal(rng, (B, 4096, 3))

@@ -82,7 +82,7 @@ class TestCheckpoint:
         trainer, batch = trainer_state_batch
         state = trainer.init_state(batch)
         state, _ = trainer.step(state, batch)
-        rec = Recorder("testexp", root=str(tmp_path))
+        rec = Recorder("default", root=str(tmp_path))
         rec.record_checkpoint(state, epoch=0)
 
         fresh = trainer.init_state(batch)
