@@ -89,6 +89,29 @@ def main(argv=None):
         loss_metric.reset()
         logger.info(f"epoch {epoch} done in {time.time() - t0:.1f}s")
 
+        # periodic validation (reference train_ddp.py:126-138, rank0-only
+        # there; here the eval step is jitted like everything else)
+        if "TEST" in cfg.DATASET and (epoch + 1) % args.eval_freq == 0:
+            from ..training.evaluator import Evaluator
+
+            val_ds = create_dataset(
+                cfg.DATASET.TEST,
+                data_preset=cfg.DATA_PRESET,
+                is_train=False,
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+            )
+            evaluator = Evaluator(model, aux, center_idx=cfg.DATA_PRESET.CENTER_IDX)
+            val_size = cfg.DATASET.TEST.get("EPOCH_SIZE", 1000)
+            results = evaluator.run(
+                state.params,
+                batch_iterator(val_ds, batch_size, args.view_max, val_size),
+            )
+            recorder.record_metric(
+                [f"{k}: {v:.6f}" for k, v in results.items()], epoch, comment="val"
+            )
+            logger.info(f"val epoch {epoch}: " + ", ".join(f"{k}={v:.4f}" for k, v in results.items()))
+
     logger.info("training finished")
     return state
 
