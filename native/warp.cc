@@ -1,0 +1,146 @@
+// Native host-side image ops for the input pipeline.
+//
+// The data loader's per-view hot path is: decode -> affine crop/rotate
+// (cv2.warpAffine, INTER_LINEAR, BORDER_CONSTANT) -> float conversion ->
+// mean/std normalisation. This TU fuses the warp + dtype conversion +
+// normalisation into one pass over the output crop (one read of the
+// source neighbourhood, one write of the float32 crop), multi-threaded
+// over rows, GIL-free via ctypes.
+//
+// Replaces: cv2.warpAffine + numpy normalisation in
+// poem_v2_tpu/data/transforms.py (reference lib/utils/transform.py:140-155).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// Invert a 2x3 affine (dst <- A src): we need src = A^-1 dst.
+static inline void invert_affine(const float* m, float* inv) {
+  const float a = m[0], b = m[1], c = m[2];
+  const float d = m[3], e = m[4], f = m[5];
+  const float det = a * e - b * d;
+  const float idet = det != 0.f ? 1.f / det : 0.f;
+  inv[0] = e * idet;
+  inv[1] = -b * idet;
+  inv[2] = (b * f - e * c) * idet;
+  inv[3] = -d * idet;
+  inv[4] = a * idet;
+  inv[5] = (d * c - a * f) * idet;
+}
+
+struct WarpJob {
+  const uint8_t* src;
+  int sh, sw;
+  float inv[6];
+  float* dst;  // (oh, ow, 3) float32
+  int oh, ow;
+  float scale;   // e.g. 1/255
+  float shift;   // e.g. -0.5
+  float cj[3];   // per-channel color jitter multipliers (on uint8 scale)
+};
+
+static void warp_rows(const WarpJob& j, int y0, int y1) {
+  for (int y = y0; y < y1; ++y) {
+    float* out_row = j.dst + static_cast<size_t>(y) * j.ow * 3;
+    for (int x = 0; x < j.ow; ++x) {
+      const float sx = j.inv[0] * x + j.inv[1] * y + j.inv[2];
+      const float sy = j.inv[3] * x + j.inv[4] * y + j.inv[5];
+      float px[3] = {0.f, 0.f, 0.f};
+      const int x0 = static_cast<int>(std::floor(sx));
+      const int y0i = static_cast<int>(std::floor(sy));
+      if (x0 >= -1 && y0i >= -1 && x0 < j.sw && y0i < j.sh) {
+        const float fx = sx - x0;
+        const float fy = sy - y0i;
+        const float w00 = (1 - fx) * (1 - fy);
+        const float w01 = fx * (1 - fy);
+        const float w10 = (1 - fx) * fy;
+        const float w11 = fx * fy;
+        const bool in00 = x0 >= 0 && y0i >= 0;
+        const bool in01 = x0 + 1 < j.sw && y0i >= 0;
+        const bool in10 = x0 >= 0 && y0i + 1 < j.sh;
+        const bool in11 = x0 + 1 < j.sw && y0i + 1 < j.sh;
+        const uint8_t* r0 = j.src + (static_cast<size_t>(y0i) * j.sw + x0) * 3;
+        const uint8_t* r1 = r0 + static_cast<size_t>(j.sw) * 3;
+        for (int c = 0; c < 3; ++c) {
+          float acc = 0.f;
+          if (in00) acc += w00 * r0[c];
+          if (in01) acc += w01 * r0[3 + c];
+          if (in10) acc += w10 * r1[c];
+          if (in11) acc += w11 * r1[3 + c];
+          px[c] = acc;
+        }
+      }
+      for (int c = 0; c < 3; ++c) {
+        float v = std::min(std::max(px[c] * j.cj[c], 0.f), 255.f);
+        out_row[x * 3 + c] = v * j.scale + j.shift;
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Fused warpAffine(INTER_LINEAR, BORDER_CONSTANT 0) + color jitter +
+// float normalisation: out = clip(bilinear(src) * cj, 0, 255) * scale + shift.
+void warp_affine_normalize(const uint8_t* src, int sh, int sw,
+                           const float* affine2x3, float* dst, int oh, int ow,
+                           float scale, float shift, const float* color_jitter,
+                           int n_threads) {
+  WarpJob job;
+  job.src = src;
+  job.sh = sh;
+  job.sw = sw;
+  invert_affine(affine2x3, job.inv);
+  job.dst = dst;
+  job.oh = oh;
+  job.ow = ow;
+  job.scale = scale;
+  job.shift = shift;
+  job.cj[0] = color_jitter ? color_jitter[0] : 1.f;
+  job.cj[1] = color_jitter ? color_jitter[1] : 1.f;
+  job.cj[2] = color_jitter ? color_jitter[2] : 1.f;
+
+  n_threads = std::max(1, std::min(n_threads, oh));
+  if (n_threads == 1) {
+    warp_rows(job, 0, oh);
+    return;
+  }
+  std::vector<std::thread> threads;
+  const int rows = (oh + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    const int y0 = t * rows;
+    const int y1 = std::min(oh, y0 + rows);
+    if (y0 >= y1) break;
+    threads.emplace_back([&job, y0, y1] { warp_rows(job, y0, y1); });
+  }
+  for (auto& th : threads) th.join();
+}
+
+// Batched variant: N independent warps (one per view), threaded across views.
+void warp_affine_normalize_batch(const uint8_t* const* srcs, const int* shs,
+                                 const int* sws, const float* affines,
+                                 float* dst, int n, int oh, int ow, float scale,
+                                 float shift, const float* color_jitters) {
+  std::vector<std::thread> threads;
+  for (int i = 0; i < n; ++i) {
+    const uint8_t* src = srcs[i];
+    const int sh = shs[i];
+    const int sw = sws[i];
+    const float* aff = affines + i * 6;
+    float* out = dst + static_cast<size_t>(i) * oh * ow * 3;
+    const float* cj = color_jitters ? color_jitters + i * 3 : nullptr;
+    threads.emplace_back([=] {
+      warp_affine_normalize(src, sh, sw, aff, out, oh, ow, scale, shift, cj, 1);
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // extern "C"

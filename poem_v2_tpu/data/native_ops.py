@@ -1,0 +1,99 @@
+"""ctypes bindings for the native host-side image ops (native/warp.cc).
+
+Compiles the shared library on first use (g++ -O3, cached under
+native/build/) and exposes the fused warp+normalise. Falls back to the
+cv2+numpy path transparently if no toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_ROOT, "native", "warp.cc")
+_BUILD_DIR = os.path.join(_ROOT, "native", "build")
+_SO = os.path.join(_BUILD_DIR, "libpoemwarp.so")
+
+
+def _build() -> Optional[str]:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+        _SRC, "-o", _SO,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _SO
+    except Exception:
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        so = _build()
+        if so is None:
+            return None
+        lib = ctypes.CDLL(so)
+        lib.warp_affine_normalize.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ]
+        lib.warp_affine_normalize.restype = None
+        _LIB = lib
+        return _LIB
+
+
+def warp_affine_normalize(
+    image: np.ndarray,  # (H, W, 3) uint8
+    affine2x3: np.ndarray,  # (2, 3) float
+    out_hw,
+    scale: float = 1.0 / 255.0,
+    shift: float = -0.5,
+    color_jitter: Optional[np.ndarray] = None,
+    n_threads: int = 1,
+) -> Optional[np.ndarray]:
+    """Fused crop+normalise; returns None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    image = np.ascontiguousarray(image, dtype=np.uint8)
+    aff = np.ascontiguousarray(affine2x3, dtype=np.float32).reshape(6)
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    out = np.empty((oh, ow, 3), dtype=np.float32)
+    cj = (
+        np.ascontiguousarray(color_jitter, dtype=np.float32)
+        if color_jitter is not None
+        else None
+    )
+    lib.warp_affine_normalize(
+        image.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        image.shape[0],
+        image.shape[1],
+        aff.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        oh,
+        ow,
+        ctypes.c_float(scale),
+        ctypes.c_float(shift),
+        cj.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) if cj is not None else None,
+        n_threads,
+    )
+    return out

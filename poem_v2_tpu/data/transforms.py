@@ -140,20 +140,31 @@ class SimpleTransform3DMultiView:
         affine = affine_transform(bbox_center, bbox_scale, self.output_size, rot)
         target_joints_2d = transform_coords(label["joints_2d"], affine).astype(np.float32)
 
-        image = cv2.warpAffine(
-            image,
-            affine[:2, :],
-            (int(self.output_size[0]), int(self.output_size[1])),
-            flags=cv2.INTER_LINEAR,
-            borderMode=cv2.BORDER_CONSTANT,
-        )
         if self.aug and self.color_jit > 0:
             lo, hi = 1 - self.color_jit, 1 + self.color_jit
-            for c in range(3):
-                image[:, :, c] = np.clip(image[:, :, c] * random.uniform(lo, hi), 0, 255)
+            cj = np.array([random.uniform(lo, hi) for _ in range(3)], dtype=np.float32)
+        else:
+            cj = None
 
-        # to float, mean .5 / std 1 normalisation, HWC (TPU layout)
-        img = image.astype(np.float32) / 255.0 - 0.5
+        # fused native warp + color jitter + normalisation (native/warp.cc);
+        # falls back to cv2 + numpy when no toolchain is available
+        from .native_ops import warp_affine_normalize
+
+        img = warp_affine_normalize(
+            image, affine[:2], (self.output_size[1], self.output_size[0]), color_jitter=cj
+        )
+        if img is None:
+            image = cv2.warpAffine(
+                image,
+                affine[:2, :],
+                (int(self.output_size[0]), int(self.output_size[1])),
+                flags=cv2.INTER_LINEAR,
+                borderMode=cv2.BORDER_CONSTANT,
+            )
+            if cj is not None:
+                image = np.clip(image.astype(np.float32) * cj, 0, 255)
+            # to float, mean .5 / std 1 normalisation, HWC (TPU layout)
+            img = image.astype(np.float32) / 255.0 - 0.5
 
         # post-rotation intrinsics: K' = affine_postrot @ K
         intr = label["cam_intr"]
