@@ -101,3 +101,25 @@ def batch_iterator(dataset, batch_size: int, view_max: int, epoch_size: int = 0)
             count += batch_size
             if epoch_size and count >= epoch_size:
                 return
+
+
+def get_common_keys():
+    """Canonical 40-key multi-view sample schema (reference collation.py:29-38)."""
+    return [
+        "affine", "target_joints_3d_no_rot", "target_verts_3d_no_rot", "rot_mat3d",
+        "target_bbox_scale", "target_verts_3d_rel", "idx", "verts_uvd", "joints_vis",
+        "target_root_d", "joints_3d", "joints_2d", "master_joints_3d",
+        "target_bbox_center", "target_cam_extr", "joints_uvd", "affine_postrot",
+        "target_joints_uvd", "rot_rad", "target_verts_3d", "target_joints_3d",
+        "master_id", "target_cam_intr", "sample_idx", "target_joints_2d", "image",
+        "target_joints_vis", "target_root_joint", "bbox_scale", "extr_prerot",
+        "image_path", "target_joints_3d_rel", "target_verts_uvd", "verts_3d",
+        "cam_center", "target_joints_heatmap", "cam_intr", "bbox_center",
+        "master_verts_3d", "raw_size",
+    ]
+
+
+def key_filter(sample):
+    """Keep only the canonical keys (reference collation.py:42-45)."""
+    keys = set(get_common_keys())
+    return {k: v for k, v in sample.items() if k in keys}

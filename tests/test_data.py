@@ -189,3 +189,36 @@ class TestAffine:
         a = affine_transform(center, 80.0, (128, 128), rot=0.3)
         out = transform_coords(center[None], a)[0]
         np.testing.assert_allclose(out, [64.0, 64.0], atol=1e-4)
+
+
+class TestVideoAndDumper:
+    def test_temporal_windows(self):
+        from poem_v2_tpu.data.video import TemporalWindowDataset
+
+        stream = [{"__key__": f"seqA/{i:04d}", "v": i} for i in range(5)]
+        stream += [{"__key__": f"seqB/{i:04d}", "v": 100 + i} for i in range(3)]
+        windows = list(TemporalWindowDataset(stream, window=3, stride=1))
+        # seqA: frames 0-4 -> 3 windows; seqB: 3 frames -> 1 window
+        assert len(windows) == 4
+        assert [s["v"] for s in windows[0]] == [0, 1, 2]
+        assert [s["v"] for s in windows[-1]] == [100, 101, 102]
+        # no window crosses a sequence boundary
+        for w in windows:
+            seqs = {k["__key__"].split("/")[0] for k in w}
+            assert len(seqs) == 1
+
+    def test_shard_dumper_roundtrip(self, tmp_path):
+        from poem_v2_tpu.data.dumper import ShardDumper
+        from poem_v2_tpu.data.wds import decode_sample, iter_tar_samples
+
+        rs = np.random.RandomState(0)
+        with ShardDumper(str(tmp_path), "Round_mv_test", samples_per_shard=2) as d:
+            for s in range(3):
+                imgs = [(rs.rand(32, 32, 3) * 255).astype(np.uint8) for _ in range(2)]
+                d.add_sample(f"k{s:06d}", imgs, {"joints_3d": [np.zeros((21, 3))] * 2})
+        shards = sorted(tmp_path.glob("Round_mv_test-*.tar"))
+        assert len(shards) == 2  # 2 + 1 samples
+        samples = [decode_sample(s) for s in iter_tar_samples(str(shards[0]))]
+        assert len(samples) == 2
+        assert samples[0]["image_0.jpg"].shape == (32, 32, 3)
+        assert "label.pyd" in samples[0]
