@@ -86,12 +86,13 @@ class Evaluator:
     (lib/models/POEM.py:586-631)."""
 
     def __init__(self, model, aux: Dict[str, Any], center_idx: int = 0,
-                 pred_joints_from_mesh: bool = True):
+                 pred_joints_from_mesh: bool = True, mesh=None):
         self.model = model
         self.aux = aux
         self.center_idx = center_idx
         self.pred_joints_from_mesh = pred_joints_from_mesh
         self.j_regressor = aux["mano_layer"].j_regressor
+        self.mesh = mesh
 
         self.MPJPE = MeanEPE("joints_3d")
         self.MPJPE_REF = MeanEPE("joints_3d_ref")
@@ -101,7 +102,19 @@ class Evaluator:
         self.MPTPE = MeanEPE("triangulate_joints")
         self.PA = PAEval(mesh_score=True)
 
-        self._eval_step = jax.jit(self._step_fn)
+        if mesh is not None:
+            # shard eval over the data axis (the reference evaluates on
+            # rank 0 only — SURVEY §2.3 "eval parallelism: NONE")
+            from ..parallel.mesh import batch_sharding, replicated
+
+            bs = batch_sharding(mesh)
+            self._eval_step = jax.jit(
+                self._step_fn,
+                in_shardings=(replicated(mesh), bs, bs, bs, bs, bs),
+                out_shardings=replicated(mesh),
+            )
+        else:
+            self._eval_step = jax.jit(self._step_fn)
 
     def _step_fn(self, params, image, view_mask, cam_intr, cam_extr, master_joints_3d):
         preds = self.model.apply(

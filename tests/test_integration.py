@@ -75,3 +75,23 @@ def test_train_step_on_wds_batch(tmp_path):
                                          "master_joints_3d")})
     state, metrics = trainer.step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sharded_eval_on_mesh(tmp_path):
+    """Eval step sharded over the 8-device CPU mesh."""
+    from poem_v2_tpu.parallel.mesh import create_mesh
+    from helpers import tiny_batch
+
+    model, aux = create_poem_model(TINY_MODEL_CFG)
+    mesh = create_mesh(data=8, devices=jax.devices("cpu")[:8])
+    batch = tiny_batch(batch_size=8, view_max=2, image_size=64, random_views=False)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "noise": rng, "dropout": rng},
+        batch["image"], batch["view_mask"], batch["cam_intr"], batch["cam_extr"],
+        batch["master_joints_3d"], train=False,
+    )
+    ev = Evaluator(model, aux, center_idx=0, mesh=mesh)
+    np_batch = {k: np.asarray(v) for k, v in batch.items()}
+    results = ev.run(variables["params"], [np_batch])
+    assert np.isfinite(results["joints_3d_mepe"])
