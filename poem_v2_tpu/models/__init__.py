@@ -3,6 +3,7 @@ from .backbones.resnet import ResNet
 from .cmr import CMRG, create_cmr_model
 from .decoder import PtEmbedDecoder
 from .decoder_v2 import PtEmbedTRv2
+from .decoder_v3 import PtEmbedTRv3
 from .heads.ptemb_head import POEMGeneralizedHead, generate_bps_basis
 from .heads.v1_heads import (
     POEMPositionEmbeddedAggregationHead,

@@ -1,2 +1,3 @@
+from .hourglass import HourglassBisected
 from .hrnet import HRNet
 from .resnet import ResNet

@@ -110,7 +110,6 @@ class ParallelDeblock(nn.Module):
         return nn.relu(short + jnp.concatenate([p, p_2d3, p_d3], axis=2))
 
 
-@MODEL.register_module("CMR_G")
 class CMRG(nn.Module):
     """Image encoder -> latent -> coarse-to-fine spiral decoder -> mesh."""
 
@@ -166,3 +165,6 @@ def create_cmr_model(cfg=None, dtype=jnp.float32):
         dtype=dtype,
     )
     return model, {"mano_layer": mano}
+
+
+MODEL.register_module("CMR_G", module=create_cmr_model)

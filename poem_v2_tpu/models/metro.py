@@ -93,7 +93,6 @@ class METROEncoderBlock(nn.Module):
         return out + res
 
 
-@MODEL.register_module("METRO")
 class METRONetwork(nn.Module):
     """Single-view METRO hand network."""
 
@@ -200,3 +199,6 @@ def create_metro_model(cfg=None, dtype=jnp.float32):
         dtype=dtype,
     )
     return model, {"mano_layer": mano, "downsample": D, "upsample": U}
+
+
+MODEL.register_module("METRO", module=create_metro_model)

@@ -192,7 +192,6 @@ class MVPHead(nn.Module):
         }
 
 
-@MODEL.register_module("MVP")
 class MVP(nn.Module):
     """Backbone + MVPHead (reference MVP.py:5-9 subclasses PETRMultiView)."""
 
@@ -253,3 +252,6 @@ def create_mvp_model(cfg, dtype=jnp.float32):
         dtype=dtype,
     )
     return model, {"mano_layer": ManoLayer(center_idx=None)}
+
+
+MODEL.register_module("MVP", module=create_mvp_model)

@@ -185,7 +185,6 @@ class PETRHead(nn.Module):
         return {"all_coords_preds": all_coords}
 
 
-@MODEL.register_module("PETRMultiView")
 class PETRMultiView(nn.Module):
     """Backbone + PETR head; same padded-batch interface as POEMNet."""
 
@@ -389,3 +388,6 @@ class PETRHeadFTL(PETRHead):
         pr = jnp.asarray(self.position_range, dtype=jnp.float32)
         all_coords = all_coords * (pr[3:] - pr[:3]) + pr[:3]
         return {"all_coords_preds": all_coords}
+
+
+MODEL.register_module("PETRMultiView", module=create_petr_model)

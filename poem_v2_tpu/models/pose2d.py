@@ -73,7 +73,6 @@ class IntegralDeconvHead(nn.Module):
         return {"uv": uv, "heatmap": hm}
 
 
-@MODEL.register_module("IntegralPose")
 class IntegralPose(nn.Module):
     """backbone -> IntegralDeconvHead (reference integal_pose.py:25-120)."""
 
@@ -87,7 +86,6 @@ class IntegralPose(nn.Module):
         return self.head(top)
 
 
-@MODEL.register_module("DarkPose")
 class DarkPose(nn.Module):
     """Deconv heatmap model with MSE supervision (reference darkpose.py:69-338).
 
@@ -180,3 +178,18 @@ def create_integral_pose(cfg, dtype=jnp.float32):
         dtype=dtype,
     )
     return IntegralPose(backbone=bb, head=head)
+
+
+MODEL.register_module("IntegralPose", module=create_integral_pose)
+
+
+def create_darkpose(cfg, dtype=jnp.float32):
+    bb = ResNet.from_config(cfg.BACKBONE, dtype=dtype)
+    return DarkPose(
+        backbone=bb,
+        num_joints=cfg.get("NCLASSES", 21) if hasattr(cfg, "get") else 21,
+        dtype=dtype,
+    )
+
+
+MODEL.register_module("DarkPose_ResNet", module=create_darkpose)
