@@ -115,3 +115,30 @@ class TestFrustum:
         np.testing.assert_allclose(p[0, 0, 2, 2, :, :2], 0.0, atol=1e-5)
         # depth bins linear from 0 to 1.2
         np.testing.assert_allclose(p[0, 0, 0, 0, :, 2], [0.0, 0.3, 0.6, 0.9], atol=1e-5)
+
+
+class TestHRNet:
+    def test_tiny_hrnet_pyramid(self):
+        from poem_v2_tpu.models.backbones.hrnet import HRNet
+
+        m = HRNet(width=8, stage_modules=(1, 1, 1), stage_blocks=1)
+        img = jnp.zeros((1, 64, 64, 3))
+        v = m.init(jax.random.PRNGKey(0), img)
+        feats = m.apply(v, img)
+        shapes = [f.shape for f in feats]
+        assert shapes == [(1, 16, 16, 8), (1, 8, 8, 16), (1, 4, 4, 32), (1, 2, 2, 64)]
+
+
+class TestHourglass:
+    def test_bisected_branches(self):
+        from poem_v2_tpu.models.backbones.hourglass import HourglassBisected
+
+        m = HourglassBisected(features=32, depth=2)
+        img = jnp.zeros((1, 64, 64, 3))
+        v = m.init(jax.random.PRNGKey(0), img)
+        a, b = m.apply(v, img)
+        assert a.shape == b.shape == (1, 16, 16, 32)
+        # branches differ (independent decoder paths)
+        p = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+        a2, b2 = m.apply(v, p)
+        assert np.abs(np.asarray(a2 - b2)).max() > 0
