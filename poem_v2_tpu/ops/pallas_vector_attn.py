@@ -76,7 +76,7 @@ def fused_vector_attention(
     delta: jnp.ndarray,  # (B, M, K, 3) relative positions
     fc_delta_params: Tuple,  # (W1 (3, D), b1, W2 (D, D), b2)
     fc_gamma_params: Tuple,  # (G0 (D, D), c0, G1 (D, D), c1)
-    block_q: int = 128,
+    block_q: int = 64,  # VMEM budget: ~6 f32 (block_q*K, D) live buffers < 16MB
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, M, K, D = k_g.shape
