@@ -142,3 +142,26 @@ class TestHourglass:
         p = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
         a2, b2 = m.apply(v, p)
         assert np.abs(np.asarray(a2 - b2)).max() > 0
+
+
+class TestTRv3:
+    def test_hybrid_decoder(self):
+        from poem_v2_tpu.models.decoder_v3 import PtEmbedTRv3
+
+        rng = jax.random.PRNGKey(0)
+        B, V, H, W, F, N, Q = 1, 2, 8, 8, 32, 128, 799
+        m = PtEmbedTRv3(
+            feat_dim=F, vt_hidden_dims=(64, 32), vt_output_dims=(32, 3), vt_num_layers=1,
+            pt_n_blocks=1, pt_n_neighbor=8, pt_n_neighbor_query=8,
+        )
+        args = (
+            jax.random.normal(rng, (B, N, 3)), jax.random.normal(rng, (B, N, F)),
+            jax.random.normal(rng, (B, Q, 3)) * 0.1, jax.random.normal(rng, (B, Q, F)),
+            jax.random.normal(rng, (B, V, H, W, F)), jnp.ones((B, V), bool),
+            jnp.broadcast_to(jnp.asarray([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]]), (B, V, 3, 3)),
+            jnp.broadcast_to(jnp.eye(4), (B, V, 4, 4)), jnp.asarray([[0, 0, 0.6]]), 0.1,
+        )
+        v = m.init({"params": rng, "dropout": rng}, *args)
+        out = m.apply(v, *args)
+        assert out.shape == (2, B, 799, 3)  # metro stage + 1 PT block
+        assert np.isfinite(np.asarray(out)).all()
