@@ -129,7 +129,7 @@ class PointMetroBlock(nn.Module):
             n_neighbor=self.n_neighbor,
             n_neighbor_query=self.n_neighbor_query,
             init_block=self.init_block,
-            use_fused=self.use_flash and self.deterministic,
+            use_fused=False,  # measured slower than the XLA fusion at POEM sizes
             dtype=self.dtype,
             name="vec_attn",
         )(pt_xyz, k_emb, query_xyz, attn_out, query_anchor_idx, pt_anchor_idx)

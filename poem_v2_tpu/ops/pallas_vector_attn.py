@@ -18,6 +18,12 @@ per-pair (D, D) matmuls run back-to-back on the MXU.
 
 Forward-only (eval / serving): training uses the XLA path, whose
 autodiff matches the reference's checkpointed backward.
+
+Measured on v5e (B=8, M=799, K=32, D=256): numerically exact vs the XLA
+path but ~20% slower end-to-end — XLA's own fusion of this chain is
+already good and the kernel's f32 VMEM intermediates at block_q=64 cap
+MXU occupancy. Kept as optional infrastructure (``use_fused`` knobs) and
+as the scaffold for a future double-buffered variant; default OFF.
 """
 
 from __future__ import annotations
