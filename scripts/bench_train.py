@@ -1,0 +1,71 @@
+"""Training-step throughput benchmark (single chip).
+
+Times the full jitted SPMD train step (forward + backward + optimizer,
+remat'd decoder blocks) on synthetic data; prints one JSON line like
+bench.py but for training samples/sec.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--views", type=int, default=8)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--backbone", type=str, default="resnet34")
+    p.add_argument("--dtype", type=str, default="bf16")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _tiny_cfg
+    from poem_v2_tpu.data import SyntheticMultiviewDataset
+    from poem_v2_tpu.models.poem import create_poem_model
+    from poem_v2_tpu.parallel.mesh import create_mesh
+    from poem_v2_tpu.training.trainer import Trainer
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    cfg = _tiny_cfg(embed=256, nsample=4096, backbone=args.backbone)
+    cfg.HEAD.TRANSFORMER.N_BLOCKS = 3
+    cfg.HEAD.TRANSFORMER.N_NEIGHBOR = 32
+    cfg.HEAD.TRANSFORMER.N_NEIGHBOR_QUERY = 32
+    cfg.HEAD.POSITIONAL_ENCODING.NUM_FEATS = 128
+    model, aux = create_poem_model(cfg, dtype=dtype)
+
+    mesh = create_mesh()
+    trainer = Trainer(model, aux, train_cfg=cfg.TRAIN, loss_cfg=cfg.LOSS, mesh=mesh,
+                      steps_per_epoch=1000)
+    ds = SyntheticMultiviewDataset(
+        batch_size=args.batch, view_max=args.views, image_size=256, seed=0,
+        random_views=False, view_range=(args.views, args.views),
+    )
+    batch = ds.sample_batch()
+    state = trainer.init_state({k: jnp.asarray(v) for k, v in batch.items()})
+
+    # warmup/compile, then time with a host fetch per chunk (lazy transport)
+    state, metrics = trainer.step(state, batch)
+    _ = float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, metrics = trainer.step(state, batch)
+    _ = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / args.iters
+
+    print(json.dumps({
+        "metric": f"{args.views}view_train_samples_per_sec_per_chip",
+        "value": round(args.batch / dt, 2),
+        "unit": "samples/s",
+        "step_ms": round(dt * 1e3, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

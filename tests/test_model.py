@@ -205,3 +205,35 @@ class TestBPS:
         assert (np.linalg.norm(b1, axis=1) <= 0.1 + 1e-6).all()
         # roughly uniform: mean radius of uniform ball = 3/4 R
         assert abs(np.linalg.norm(b1, axis=1).mean() - 0.075) < 0.01
+
+
+class TestParametricVariant:
+    def test_medium_mano_style_forward(self):
+        """PARAMETRIC_OUTPUT: final block emits MANO pose/shape; last-layer
+        coords come from the MANO surface (reference ptEmb_head.py:948-963)."""
+        cfg = TINY_MODEL_CFG.clone()
+        cfg.HEAD.TRANSFORMER.PARAMETRIC_OUTPUT = True
+        model, aux = create_poem_model(cfg)
+        batch = tiny_batch(batch_size=2, view_max=2, image_size=64, random_views=False)
+        rng = jax.random.PRNGKey(0)
+        variables = model.init(
+            {"params": rng, "noise": rng, "dropout": rng},
+            batch["image"], batch["view_mask"], batch["cam_intr"], batch["cam_extr"],
+            batch["master_joints_3d"], train=False,
+        )
+        preds = model.apply(
+            variables,
+            batch["image"], batch["view_mask"], batch["cam_intr"], batch["cam_extr"],
+            batch["master_joints_3d"], train=False,
+        )
+        assert preds["pred_pose"].shape == (2, 16, 3)
+        assert preds["pred_shape"].shape == (2, 10)
+        # final coords must be a MANO surface placed at the ref center:
+        # re-run the head's mano layer on the predicted params and compare
+        mano = model.head.mano_layer
+        out = mano(jnp.asarray(preds["pred_pose"]).reshape(2, 48), preds["pred_shape"])
+        mesh = jnp.concatenate([out.joints, out.verts], axis=1)
+        centre = preds["pred_ref_joints_3d"][:, 9][:, None]
+        np.testing.assert_allclose(
+            np.asarray(preds["all_coords_preds"][-1]), np.asarray(mesh + centre), atol=1e-4
+        )
