@@ -52,6 +52,9 @@ def main(argv=None):
         steps_per_epoch=steps_per_epoch,
     )
     recorder = Recorder(args.exp_id, cfg=cfg)
+    from ..utils.summary_writer import SummaryWriter
+
+    summary = SummaryWriter(log_dir=f"{recorder.dump_path}/runs")
 
     dataset = create_dataset(
         cfg.DATASET.TRAIN,
@@ -79,11 +82,30 @@ def main(argv=None):
             state, metrics = trainer.step(state, batch)
             loss_metric.feed({k: float(v) for k, v in metrics.items()}, batch_size)
             if step_idx % cfg.TRAIN.LOG_INTERVAL == 0:
+                global_step = epoch * steps_per_epoch + step_idx
+                for k, v in metrics.items():
+                    summary.add_scalar(k, float(v), global_step)
                 logger.info(
                     f"epoch {epoch} step {step_idx}/{steps_per_epoch} "
                     f"loss {float(metrics['loss']):.4f} "
                     f"({batch_size * (step_idx + 1) / (time.time() - t0):.1f} samples/s)"
                 )
+                # per-view overlay images every 5x interval (reference
+                # POEM.py:491-514 viz cadence)
+                if step_idx % (cfg.TRAIN.LOG_INTERVAL * 5) == 0:
+                    try:
+                        from ..viztools.draw import denormalize_image, draw_joints_2d
+
+                        img0 = denormalize_image(np.asarray(batch["image"][0, 0]))
+                        gt0 = np.asarray(batch["target_joints_2d"][0, 0])
+                        summary.add_image(
+                            "img/viz_joints_2d_train",
+                            draw_joints_2d(img0, gt0),
+                            global_step,
+                            dataformats="HWC",
+                        )
+                    except Exception:
+                        pass
         recorder.record_loss(loss_metric, epoch, comment="train")
         recorder.record_checkpoint(state, epoch, snapshot_every=args.snapshot)
         loss_metric.reset()
