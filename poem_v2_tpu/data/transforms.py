@@ -190,3 +190,102 @@ class SimpleTransform3DMultiView:
             "target_bbox_center": bbox_center.astype(np.float32),
             "target_bbox_scale": np.float32(bbox_scale),
         }
+
+
+@TRANSFORM.register_module("SimpleTransform2D")
+class SimpleTransform2D(SimpleTransform3DMultiView):
+    """2D-only variant (reference transform.py:69-195): crop/aug + 2D joints
+    (+ optional Gaussian heatmaps + visibility recomputation)."""
+
+    def __init__(self, cfg, data_preset=None, is_train: bool = True):
+        super().__init__(cfg, data_preset=data_preset, is_train=is_train)
+        dp = data_preset if data_preset is not None else cfg.get("DATA_PRESET", {})
+        self.with_heatmap = dp.get("WITH_HEATMAP", False)
+        self.heatmap_size = tuple(dp.get("HEATMAP_SIZE", (32, 32)))
+        self.heatmap_sigma = dp.get("HEATMAP_SIGMA", 2.0)
+
+    def __call__(self, image, label, no_rot: bool = False):
+        out = super().__call__(image, label, no_rot=no_rot)
+        j2d = out["target_joints_2d"]
+        W, H = self.output_size
+
+        # joint-visibility recomputation (reference transform.py:127-137)
+        jv = label.get("joints_vis", np.ones(j2d.shape[0], np.float32))
+        if not self.train:
+            vis = np.ones(j2d.shape[0], np.float32)
+        elif jv.sum() < j2d.shape[0] * 0.3:
+            vis = np.zeros(j2d.shape[0], np.float32)
+        else:
+            vis = (
+                (j2d[:, 0] >= 0) & (j2d[:, 0] < W) & (j2d[:, 1] >= 0) & (j2d[:, 1] < H)
+            ).astype(np.float32)
+            if vis.sum() < j2d.shape[0] * 0.3:
+                vis = np.zeros(j2d.shape[0], np.float32)
+        out["target_joints_vis"] = vis
+
+        if self.with_heatmap:
+            hw, hh = self.heatmap_size
+            hm = np.zeros((j2d.shape[0], hh, hw), np.float32)
+            for i in range(j2d.shape[0]):
+                cx = j2d[i, 0] / W * hw
+                cy = j2d[i, 1] / H * hh
+                ys, xs = np.mgrid[0:hh, 0:hw]
+                hm[i] = np.exp(-((xs - cx) ** 2 + (ys - cy) ** 2) / (2 * self.heatmap_sigma**2))
+            out["target_joints_heatmap"] = hm
+        return out
+
+
+@TRANSFORM.register_module("SimpleTransformUVD")
+class SimpleTransformUVD(SimpleTransform2D):
+    """UVD variant (reference transform.py:199-236): normalised uv in the
+    crop + root-relative depth scaled by UVD_DEPTH_RANGE."""
+
+    def __init__(self, cfg, data_preset=None, is_train: bool = True):
+        super().__init__(cfg, data_preset=data_preset, is_train=is_train)
+        dp = data_preset if data_preset is not None else cfg.get("DATA_PRESET", {})
+        self.center_idx = dp.get("CENTER_IDX", 0)
+
+    def __call__(self, image, label, no_rot: bool = False):
+        out = super().__call__(image, label, no_rot=no_rot)
+        W, H = self.output_size
+        res = np.asarray([W, H], np.float32)
+
+        def to_uvd(uvd_raw):
+            uv = transform_coords(uvd_raw[:, :2], out["affine"]).astype(np.float32) / res
+            d = uvd_raw[:, 2:3] - label["joints_uvd"][self.center_idx, 2]
+            d = 0.5 + d / CONST.UVD_DEPTH_RANGE
+            return np.concatenate([uv, d], axis=1).astype(np.float32)
+
+        if "joints_uvd" in label:
+            out["target_joints_uvd"] = to_uvd(np.asarray(label["joints_uvd"]))
+            out["target_root_d"] = np.asarray(label["joints_uvd"])[self.center_idx, 2:3]
+        if "verts_uvd" in label:
+            out["target_verts_uvd"] = to_uvd(np.asarray(label["verts_uvd"]))
+        return out
+
+
+@TRANSFORM.register_module("SimpleTransform3D")
+class SimpleTransform3D(SimpleTransform3DMultiView):
+    """Single-view 3D variant — identical math (reference transform.py:285-325
+    shares the multiview path minus the master re-basing)."""
+
+
+@TRANSFORM.register_module("SimpleTransform3DMANO")
+class SimpleTransform3DMANO(SimpleTransform3D):
+    """3D + MANO-pose rotation (reference transform.py:329-342): the global
+    orientation is pre-multiplied by the in-plane augmentation rotation."""
+
+    def __call__(self, image, label, no_rot: bool = False):
+        out = super().__call__(image, label, no_rot=no_rot)
+        pose = np.asarray(label.get("mano_pose", np.zeros(48, np.float32))).reshape(-1)
+        rot_mat = out["extr_prerot"]
+        from scipy.spatial.transform import Rotation as R
+
+        orient = R.from_rotvec(pose[:3]).as_matrix()
+        pose = pose.copy()
+        pose[:3] = R.from_matrix(rot_mat @ orient).as_rotvec()
+        out["target_mano_pose"] = pose.reshape(16, 3).astype(np.float32)
+        out["target_mano_shape"] = np.asarray(
+            label.get("mano_shape", np.zeros(10, np.float32)), np.float32
+        )
+        return out
