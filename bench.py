@@ -27,6 +27,11 @@ def main():
     parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--backbone", type=str, default="resnet34")
     parser.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
+    parser.add_argument(
+        "--norm", type=str, default="frozen_bn", choices=["frozen_bn", "gn", "bn"],
+        help="eval-parity default frozen_bn (the reference evaluates with frozen "
+             "BatchNorm, which folds to a free affine); gn matches from-scratch training",
+    )
     args = parser.parse_args()
 
     import jax
@@ -39,6 +44,7 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
     cfg = _tiny_cfg(embed=256, nsample=4096, backbone=args.backbone)
+    cfg.BACKBONE.NORM = args.norm
     cfg.HEAD.TRANSFORMER.N_BLOCKS = 3
     cfg.HEAD.TRANSFORMER.N_NEIGHBOR = 32
     cfg.HEAD.TRANSFORMER.N_NEIGHBOR_QUERY = 32
