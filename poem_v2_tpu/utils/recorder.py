@@ -137,16 +137,16 @@ class Recorder:
 
     # -- metric text dumps (reference recorder.py:140-159) ------------------
     @master_only
-    def record_metric(self, metrics, epoch: int, comment: str = "") -> None:
+    def record_metric(self, metrics, epoch_idx: int, comment: str = "") -> None:
         path = os.path.join(self.dump_path, "evaluations", f"metric_{comment}.txt")
         with open(path, "a") as f:
             parts = []
             for m in metrics:
                 parts.append(str(m))
-            f.write(f"epoch {epoch}: " + " | ".join(parts) + "\n")
+            f.write(f"epoch {epoch_idx}: " + " | ".join(parts) + "\n")
 
     @master_only
-    def record_loss(self, loss_metric, epoch: int, comment: str = "") -> None:
+    def record_loss(self, loss_metric, epoch_idx: int, comment: str = "") -> None:
         path = os.path.join(self.dump_path, "evaluations", f"loss_{comment}.txt")
         with open(path, "a") as f:
-            f.write(f"epoch {epoch}: {loss_metric}\n")
+            f.write(f"epoch {epoch_idx}: {loss_metric}\n")
