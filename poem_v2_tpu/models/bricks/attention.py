@@ -42,7 +42,8 @@ def _flash_cross_attention(q, k, v, sm_scale: float):
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
 
-    block_q = 512
+    # block 128 pads 799 queries to 896 (12% waste) vs 1024 at block 512
+    block_q = 128
     q_pad = (-Q) % block_q
     if q_pad:
         qt = jnp.pad(qt, ((0, 0), (0, 0), (0, q_pad), (0, 0)))
