@@ -4,6 +4,36 @@ from .transforms import SimpleTransform3DMultiView
 from .wds import MixWebDataset, MultiviewWebDataset, expand_urls
 
 
+class SyntheticSampleStream:
+    """Per-sample adapter over the synthetic generator so the standard
+    ``batch_iterator``/``collate_padded`` path applies unchanged."""
+
+    def __init__(self, view_max=8, image_size=256, epoch_size=0, seed=0):
+        self._gen = SyntheticMultiviewDataset(
+            batch_size=1, view_max=view_max, image_size=image_size, seed=seed
+        )
+        self.epoch_size = epoch_size
+
+    def __iter__(self):
+        import itertools
+
+        count = itertools.count() if not self.epoch_size else range(self.epoch_size)
+        for _ in count:
+            b = self._gen.sample_batch()
+            n = int(b["view_mask"][0].sum())
+            yield {
+                "image": b["image"][0, :n],
+                "target_cam_intr": b["cam_intr"][0, :n],
+                "target_cam_extr": b["cam_extr"][0, :n],
+                "target_joints_2d": b["target_joints_2d"][0, :n],
+                "master_joints_3d": b["master_joints_3d"][0],
+                "master_verts_3d": b["master_verts_3d"][0],
+                "mano_pose": b["mano_pose"][:1].repeat(n, 0),
+                "mano_shape": b["mano_shape"][:1].repeat(n, 0),
+            }
+
+
+
 def create_dataset(cfg, data_preset=None, is_train: bool = True, **kwargs):
     """Dataset factory (reference lib/datasets/__init__.py:14-35).
 
@@ -23,7 +53,9 @@ def create_dataset(cfg, data_preset=None, is_train: bool = True, **kwargs):
     if cfg.TYPE in ("MultiviewWebDataset", "WebDataset"):
         return MultiviewWebDataset(cfg, data_preset=data_preset, is_train=is_train, **kwargs)
     if cfg.TYPE == "Synthetic":
-        return SyntheticMultiviewDataset(
-            view_max=cfg.get("VIEW_MAX", 8), image_size=cfg.get("IMAGE_SIZE", 256)
+        return SyntheticSampleStream(
+            view_max=cfg.get("VIEW_MAX", 8),
+            image_size=cfg.get("IMAGE_SIZE", 256),
+            epoch_size=cfg.get("EPOCH_SIZE", 0),
         )
     raise ValueError(f"unknown dataset TYPE {cfg.TYPE!r}")
