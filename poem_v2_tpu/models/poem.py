@@ -226,11 +226,5 @@ def create_poem_model(
     return model, aux
 
 
-@MODEL.register_module("PtEmbedMultiviewStereoV2")
-class PtEmbedMultiviewStereoV2:
-    """Registry adapter keeping the reference model name & cfg schema."""
-
-    def __new__(cls, cfg: Config):
-        model, aux = create_poem_model(cfg)
-        model_aux = (model, aux)
-        return model_aux
+# registry entry keeping the reference model name & cfg schema
+MODEL.register_module("PtEmbedMultiviewStereoV2", module=create_poem_model)
