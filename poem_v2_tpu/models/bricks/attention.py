@@ -95,9 +95,12 @@ class MultiHeadCrossAttention(nn.Module):
         B, Q, _ = hidden.shape
         N = kv.shape[1]
 
-        q = nn.Dense(h, dtype=self.dtype, name="query")(hidden)
-        k = nn.Dense(h, dtype=self.dtype, name="key")(kv)
-        v = nn.Dense(h, dtype=self.dtype, name="value")(kv)
+        # BERT-style init (the reference decoder blocks are HF-Bert modules
+        # initialised N(0, 0.02) — pt_metro_transformer.py:129 init_weights)
+        init = nn.initializers.normal(stddev=0.02)
+        q = nn.Dense(h, kernel_init=init, dtype=self.dtype, name="query")(hidden)
+        k = nn.Dense(h, kernel_init=init, dtype=self.dtype, name="key")(kv)
+        v = nn.Dense(h, kernel_init=init, dtype=self.dtype, name="value")(kv)
 
         q = q.reshape(B, Q, nh, hd)
         k = k.reshape(B, N, nh, hd)
@@ -115,7 +118,7 @@ class MultiHeadCrossAttention(nn.Module):
             probs = nn.Dropout(self.dropout, deterministic=deterministic)(probs)
             ctx = jnp.einsum("bhqn,bnhd->bqhd", probs, v).reshape(B, Q, h)
 
-        out = nn.Dense(h, dtype=self.dtype, name="out")(ctx)
+        out = nn.Dense(h, kernel_init=init, dtype=self.dtype, name="out")(ctx)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         out = nn.LayerNorm(dtype=self.dtype, name="ln")(out + hidden)
         return out
@@ -131,9 +134,10 @@ class BertFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        h = nn.Dense(self.intermediate_size, dtype=self.dtype, name="intermediate")(x)
+        init = nn.initializers.normal(stddev=0.02)
+        h = nn.Dense(self.intermediate_size, kernel_init=init, dtype=self.dtype, name="intermediate")(x)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.hidden_size, dtype=self.dtype, name="output")(h)
+        h = nn.Dense(self.hidden_size, kernel_init=init, dtype=self.dtype, name="output")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return nn.LayerNorm(dtype=self.dtype, name="ln")(h + x)
 
