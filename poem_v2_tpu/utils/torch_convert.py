@@ -183,3 +183,63 @@ def convert_poem_checkpoint(state: Dict, params: Dict) -> Tuple[Dict, List[str]]
     used = set(convert_head(state, params))
     leftover = [k for k in state if k not in used]
     return params, leftover
+
+
+def convert_frozen_bn(state: Dict, torch_prefix: str, params: Dict, path: List[str]) -> List[str]:
+    """BatchNorm2d (weight/bias/running_mean/running_var) -> FrozenBatchNorm."""
+    used = []
+    mapping = {
+        "weight": "scale", "bias": "bias",
+        "running_mean": "mean", "running_var": "var",
+    }
+    for tk, jk in mapping.items():
+        key = f"{torch_prefix}.{tk}"
+        if key in state:
+            set_in_tree(params, path + [jk], _t2n(state[key]))
+            used.append(key)
+    return used
+
+
+def convert_resnet_backbone(
+    state: Dict, params: Dict, prefix: str = "img_backbone.", arch: str = "resnet34"
+) -> List[str]:
+    """Map a torchvision-layout ResNet state dict onto the flax backbone.
+
+    Requires the model built with NORM=frozen_bn so BatchNorm statistics
+    land in FrozenBatchNorm parameters. Layer layout per BasicBlock:
+    Conv_0/FrozenBatchNorm_0 (conv1/bn1), Conv_1/FrozenBatchNorm_1
+    (conv2/bn2), Conv_2/FrozenBatchNorm_2 (downsample); Bottleneck adds
+    conv3/bn3 before the downsample pair.
+    """
+    used: List[str] = []
+    bb = params["backbone"]
+
+    def put_conv(torch_key, path):
+        if torch_key in state:
+            set_in_tree(bb, path + ["kernel"], convert_conv(state[torch_key]))
+            used.append(torch_key)
+
+    put_conv(prefix + "conv1.weight", ["stem_conv"])
+    used.extend(convert_frozen_bn(state, prefix + "bn1", bb, ["stem_norm"]))
+
+    layers = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3), "resnet50": (3, 4, 6, 3)}[arch]
+    bottleneck = arch == "resnet50"
+    n_convs = 3 if bottleneck else 2
+    for li, n_blocks in enumerate(layers):
+        for b in range(n_blocks):
+            t_base = f"{prefix}layer{li + 1}.{b}."
+            j_block = f"layer{li + 1}_block{b}"
+            for ci in range(n_convs):
+                put_conv(t_base + f"conv{ci + 1}.weight", [j_block, f"Conv_{ci}"])
+                used.extend(
+                    convert_frozen_bn(state, t_base + f"bn{ci + 1}", bb,
+                                      [j_block, f"FrozenBatchNorm_{ci}"])
+                )
+            ds = t_base + "downsample.0.weight"
+            if ds in state:
+                put_conv(ds, [j_block, f"Conv_{n_convs}"])
+                used.extend(
+                    convert_frozen_bn(state, t_base + "downsample.1", bb,
+                                      [j_block, f"FrozenBatchNorm_{n_convs}"])
+                )
+    return used

@@ -84,3 +84,67 @@ def test_decoder_block_conversion_shapes():
     # converted params still run
     out = dec.apply({"params": params}, qx, qf, px, pf, anchors, anchors)
     assert np.isfinite(np.asarray(out[0])).all()
+
+
+def fabricate_torchvision_resnet18(prefix="img_backbone."):
+    g = torch.Generator().manual_seed(1)
+
+    def w(*shape):
+        return torch.randn(*shape, generator=g)
+
+    _orig_w = w
+
+    def wpos(*shape):
+        return torch.rand(*shape, generator=g) + 0.5
+
+    s = {prefix + "conv1.weight": w(64, 3, 7, 7)}
+    for t in ("weight", "bias", "running_mean"):
+        s[prefix + f"bn1.{t}"] = w(64)
+    s[prefix + "bn1.running_var"] = wpos(64)
+    widths = [64, 128, 256, 512]
+    in_w = 64
+    for li, n_blocks in enumerate((2, 2, 2, 2)):
+        width = widths[li]
+        for b in range(n_blocks):
+            base = prefix + f"layer{li + 1}.{b}."
+            first_in = in_w if b == 0 else width
+            s[base + "conv1.weight"] = w(width, first_in, 3, 3)
+            s[base + "conv2.weight"] = w(width, width, 3, 3)
+            for bn in ("bn1", "bn2"):
+                for t in ("weight", "bias", "running_mean"):
+                    s[base + f"{bn}.{t}"] = w(width)
+                s[base + f"{bn}.running_var"] = wpos(width)
+            if b == 0 and li > 0:
+                s[base + "downsample.0.weight"] = w(width, first_in, 1, 1)
+                for t in ("weight", "bias", "running_mean"):
+                    s[base + f"downsample.1.{t}"] = w(width)
+                s[base + "downsample.1.running_var"] = wpos(width)
+        in_w = width
+    return s
+
+
+def test_resnet_backbone_conversion():
+    from poem_v2_tpu.models.backbones.resnet import ResNet
+    from poem_v2_tpu.utils.torch_convert import convert_resnet_backbone
+
+    model = ResNet(arch="resnet18", norm="frozen_bn")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    state = fabricate_torchvision_resnet18()
+    used = convert_resnet_backbone({"backbone": None} and state, {"backbone": params},
+                                   arch="resnet18")
+    assert set(used) == set(state.keys()), set(state) - set(used)
+
+    # converted stem conv kernel is the (kH, kW, I, O) transpose
+    np.testing.assert_allclose(
+        params["stem_conv"]["kernel"],
+        state["img_backbone.conv1.weight"].numpy().transpose(2, 3, 1, 0),
+    )
+    # frozen-bn stats landed
+    np.testing.assert_allclose(
+        params["stem_norm"]["var"], state["img_backbone.bn1.running_var"].numpy()
+    )
+    # converted params still run
+    out = model.apply({"params": params}, jnp.zeros((1, 64, 64, 3)))
+    assert np.isfinite(np.asarray(out["res_layer4_mean"])).all()
