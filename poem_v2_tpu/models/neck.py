@@ -31,12 +31,13 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         pad = self.kernel_size // 2
+        # reference ConvBlock keeps the conv bias even under BN
+        # (bricks/conv.py:18-25 uses nn.Conv2d defaults)
         x = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
             (self.strides, self.strides),
             padding=pad,
-            use_bias=(self.norm == "none"),
             dtype=self.dtype,
         )(x)
         if self.norm != "none":

@@ -243,3 +243,35 @@ def convert_resnet_backbone(
                                       [j_block, f"FrozenBatchNorm_{n_convs}"])
                 )
     return used
+
+
+def convert_conv_block(state: Dict, torch_prefix: str, params: Dict, path: List[str]) -> List[str]:
+    """Reference ConvBlock (conv + optional bn, bricks/conv.py:4-44) ->
+    flax ConvBlock (Conv_0 + FrozenBatchNorm_0)."""
+    used = []
+    k = f"{torch_prefix}.conv.weight"
+    if k in state:
+        set_in_tree(params, path + ["Conv_0", "kernel"], convert_conv(state[k]))
+        used.append(k)
+        bk = f"{torch_prefix}.conv.bias"
+        if bk in state:
+            set_in_tree(params, path + ["Conv_0", "bias"], _t2n(state[bk]))
+            used.append(bk)
+    used.extend(convert_frozen_bn(state, f"{torch_prefix}.norm", params,
+                                  path + ["FrozenBatchNorm_0"]))
+    return used
+
+
+def convert_necks(state: Dict, params: Dict, hrnet: bool = False) -> List[str]:
+    """Map feat_delayer/feat_in and uv_delayer/uv_out/uv_in
+    (reference POEM.py:59-112) onto the flax neck trees."""
+    used: List[str] = []
+    feat = params["feat_neck"]
+    uv = params["uv_neck"]
+    for i in range(3):
+        used += convert_conv_block(state, f"feat_delayer.{i}", feat, [f"ConvBlock_{i}"])
+        used += convert_conv_block(state, f"uv_delayer.{i}", uv, [f"ConvBlock_{i}"])
+    used += convert_conv_block(state, "feat_in", feat, ["feat_in"])
+    used += convert_conv_block(state, "uv_out", uv, ["uv_out"])
+    used += convert_conv_block(state, "uv_in", uv, ["uv_in"])
+    return used

@@ -148,3 +148,50 @@ def test_resnet_backbone_conversion():
     # converted params still run
     out = model.apply({"params": params}, jnp.zeros((1, 64, 64, 3)))
     assert np.isfinite(np.asarray(out["res_layer4_mean"])).all()
+
+
+def test_neck_conversion():
+    from poem_v2_tpu.models.neck import ResNetFeatNeck, UVDecodeNeck
+    from poem_v2_tpu.utils.torch_convert import convert_necks
+
+    feats = [
+        jnp.zeros((1, 16, 16, 64)), jnp.zeros((1, 8, 8, 128)),
+        jnp.zeros((1, 4, 4, 256)), jnp.zeros((1, 2, 2, 512)),
+    ]
+    fn = ResNetFeatNeck(feat_size=(512, 256, 128, 64), norm="frozen_bn")
+    un = UVDecodeNeck(feat_size=(512, 256, 128, 64), norm="frozen_bn")
+    fp = jax.tree_util.tree_map(np.asarray, fn.init(jax.random.PRNGKey(0), feats)["params"])
+    up = jax.tree_util.tree_map(np.asarray, un.init(jax.random.PRNGKey(1), feats)["params"])
+
+    g = torch.Generator().manual_seed(2)
+
+    def conv_block_state(prefix, cin, cout, k, with_bn=True):
+        s = {
+            f"{prefix}.conv.weight": torch.randn(cout, cin, k, k, generator=g),
+            f"{prefix}.conv.bias": torch.randn(cout, generator=g),
+        }
+        if with_bn:
+            s[f"{prefix}.norm.weight"] = torch.randn(cout, generator=g)
+            s[f"{prefix}.norm.bias"] = torch.randn(cout, generator=g)
+            s[f"{prefix}.norm.running_mean"] = torch.randn(cout, generator=g)
+            s[f"{prefix}.norm.running_var"] = torch.rand(cout, generator=g) + 0.5
+        return s
+
+    # resnet18 neck shapes (reference POEM.py:59-86)
+    state = {}
+    state.update(conv_block_state("feat_delayer.0", 256 + 512, 256, 3))
+    state.update(conv_block_state("feat_delayer.1", 128 + 256, 128, 3))
+    state.update(conv_block_state("feat_delayer.2", 64 + 128, 64, 3))
+    state.update(conv_block_state("feat_in", 64, 128, 1, with_bn=False))
+    state.update(conv_block_state("uv_delayer.0", 256 + 512, 256, 3))
+    state.update(conv_block_state("uv_delayer.1", 128 + 256, 128, 3))
+    state.update(conv_block_state("uv_delayer.2", 64 + 128, 64, 3))
+    state.update(conv_block_state("uv_out", 64, 21, 1, with_bn=False))
+    state.update(conv_block_state("uv_in", 21, 128, 1))
+
+    used = convert_necks(state, {"feat_neck": fp, "uv_neck": up})
+    assert set(used) == set(state.keys()), set(state) - set(used)
+    np.testing.assert_allclose(
+        fp["ConvBlock_0"]["Conv_0"]["kernel"],
+        state["feat_delayer.0.conv.weight"].numpy().transpose(2, 3, 1, 0),
+    )
