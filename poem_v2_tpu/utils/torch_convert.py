@@ -171,16 +171,22 @@ def convert_head(state: Dict, params: Dict) -> List[str]:
     return used
 
 
-def convert_poem_checkpoint(state: Dict, params: Dict) -> Tuple[Dict, List[str]]:
-    """Convert what is convertible; returns (params, leftover torch keys).
+def convert_poem_checkpoint(
+    state: Dict, params: Dict, arch: str = "resnet34"
+) -> Tuple[Dict, List[str]]:
+    """Convert a full PtEmbedMultiviewStereoV2 state dict.
 
-    Backbone conversion requires NORM=frozen_bn model instantiation; the
-    neck/uv branches map 1:1 onto ConvBlock trees. This function is the
-    parity-eval entry — exact-checkpoint evaluation additionally needs
-    the reference's bps.npy / anchor npy assets placed in assets/.
+    Maps backbone (NORM=frozen_bn build required), both necks, and the
+    head/decoder. Returns (params, leftover torch keys) — leftovers are
+    reported, never silently dropped. Exact-checkpoint parity evals
+    additionally need the reference's bps.npy / anchor npy assets.
     """
     params = dict(params)
     used = set(convert_head(state, params))
+    if arch.startswith("resnet") and "backbone" in params:
+        used |= set(convert_resnet_backbone(state, params, arch=arch))
+    if "feat_neck" in params and "uv_neck" in params:
+        used |= set(convert_necks(state, params))
     leftover = [k for k in state if k not in used]
     return params, leftover
 
