@@ -19,11 +19,12 @@ per-pair (D, D) matmuls run back-to-back on the MXU.
 Forward-only (eval / serving): training uses the XLA path, whose
 autodiff matches the reference's checkpointed backward.
 
-Measured on v5e (B=8, M=799, K=32, D=256): numerically exact vs the XLA
-path but ~20% slower end-to-end — XLA's own fusion of this chain is
-already good and the kernel's f32 VMEM intermediates at block_q=64 cap
-MXU occupancy. Kept as optional infrastructure (``use_fused`` knobs) and
-as the scaffold for a future double-buffered variant; default OFF.
+Measured on v5e (B=8, M=799, K=32, D=256), chained-timing with host
+fetches: f32-operand variant 3.93 ms and bf16-operand/f32-accumulate
+variant 3.14 ms vs 2.43 ms for the XLA path — XLA's automatic fusion of
+this chain wins at these sizes. Kept as optional infrastructure
+(``use_fused`` knobs) and as the scaffold for a future double-buffered
+variant; default OFF.
 """
 
 from __future__ import annotations
@@ -40,29 +41,31 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(q_ref, k_ref, v_ref, delta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             g0_ref, c0_ref, g1_ref, c1_ref, out_ref):
     tq, kk, d = k_ref.shape[1], k_ref.shape[2], k_ref.shape[3]
+    cdt = q_ref.dtype  # compute dtype of the model (bf16 on TPU)
 
-    delta = delta_ref[0].reshape(tq * kk, delta_ref.shape[-1]).astype(jnp.float32)
+    # MXU-native: bf16 operands, f32 accumulation; softmax math in f32.
+    delta = delta_ref[0].reshape(tq * kk, delta_ref.shape[-1]).astype(cdt)
     t1 = jnp.maximum(
-        jnp.dot(delta, w1_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
+        jnp.dot(delta, w1_ref[:].astype(cdt), preferred_element_type=jnp.float32)
         + b1_ref[:].astype(jnp.float32),
         0.0,
     )
     pos = (
-        jnp.dot(t1, w2_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
+        jnp.dot(t1.astype(cdt), w2_ref[:].astype(cdt), preferred_element_type=jnp.float32)
         + b2_ref[:].astype(jnp.float32)
-    )  # (tq*kk, d)
+    )  # (tq*kk, d) f32
 
     q = q_ref[0].astype(jnp.float32)  # (tq, d)
     k = k_ref[0].reshape(tq * kk, d).astype(jnp.float32)
     x = jnp.repeat(q, kk, axis=0) - k + pos
 
     h = jnp.maximum(
-        jnp.dot(x, g0_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
+        jnp.dot(x.astype(cdt), g0_ref[:].astype(cdt), preferred_element_type=jnp.float32)
         + c0_ref[:].astype(jnp.float32),
         0.0,
     )
     g = (
-        jnp.dot(h, g1_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
+        jnp.dot(h.astype(cdt), g1_ref[:].astype(cdt), preferred_element_type=jnp.float32)
         + c1_ref[:].astype(jnp.float32)
     )
 
