@@ -29,4 +29,6 @@ def parse_exp_args(argv=None):
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (multi-host SPMD)")
+    p.add_argument("--profile", type=str, default="",
+                   help="capture a jax.profiler device trace of epoch 0 into this dir")
     return p.parse_args(argv)

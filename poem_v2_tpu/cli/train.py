@@ -76,10 +76,21 @@ def main(argv=None):
     loss_metric = LossMetric()
     mpjpe = MeanEPE("joints_3d")
 
+    from ..utils.profiling import StepTimer, trace
+
+    timer = StepTimer()
     for epoch in range(cfg.TRAIN.EPOCH):
         t0 = time.time()
+        profiling = bool(args.profile) and epoch == 0
+        if profiling:
+            jax.profiler.start_trace(args.profile)
         for step_idx, batch in enumerate(batches()):
             state, metrics = trainer.step(state, batch)
+            timer.tick()
+            if profiling and step_idx >= 20:
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info(f"profiler trace written to {args.profile}")
             loss_metric.feed({k: float(v) for k, v in metrics.items()}, batch_size)
             if step_idx % cfg.TRAIN.LOG_INTERVAL == 0:
                 global_step = epoch * steps_per_epoch + step_idx
@@ -88,7 +99,8 @@ def main(argv=None):
                 logger.info(
                     f"epoch {epoch} step {step_idx}/{steps_per_epoch} "
                     f"loss {float(metrics['loss']):.4f} "
-                    f"({batch_size * (step_idx + 1) / (time.time() - t0):.1f} samples/s)"
+                    f"({timer.throughput(batch_size):.1f} samples/s, "
+                    f"{timer.mean_step_time * 1e3:.1f} ms/step)"
                 )
                 # per-view overlay images every 5x interval (reference
                 # POEM.py:491-514 viz cadence)
