@@ -1,0 +1,65 @@
+"""Eval callback artifacts: AUC files, prediction pickles, draw overlays."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from poem_v2_tpu.training.evaluator import AUCCallback, PredictionSaverCallback
+
+
+def fake_preds_batch(B=2, V=2):
+    rs = np.random.RandomState(0)
+    preds = {
+        "pred_joints_3d": rs.randn(B, 21, 3) * 0.01,
+        "pred_verts_3d": rs.randn(B, 778, 3) * 0.01,
+        "pred_joints_3d_rel": rs.randn(B, 21, 3) * 0.01,
+        "pred_verts_3d_rel": rs.randn(B, 778, 3) * 0.01,
+    }
+    batch = {
+        "image": rs.rand(B, V, 32, 32, 3).astype(np.float32) - 0.5,
+        "view_mask": np.ones((B, V), bool),
+        "cam_intr": np.tile(np.eye(3, dtype=np.float32) * 100, (B, V, 1, 1)),
+        "cam_extr": np.tile(np.eye(4, dtype=np.float32), (B, V, 1, 1)),
+        "master_joints_3d": preds["pred_joints_3d"] + 0.001,
+        "master_joints_3d_rel": preds["pred_joints_3d_rel"] + 0.001,
+        "master_verts_3d_rel": preds["pred_verts_3d_rel"] + 0.001,
+    }
+    return preds, batch
+
+
+def test_auc_callback_artifacts(tmp_path):
+    cb = AUCCallback(exp_dir=str(tmp_path))
+    preds, batch = fake_preds_batch()
+    cb(preds, batch, 0)
+    cb.on_finished()
+    assert (tmp_path / "auc.txt").exists()
+    curve = pickle.load(open(tmp_path / "res_auc_j.pkl", "rb"))
+    assert len(curve) == 2 and len(curve[0]) == 20
+    # preds within 1mm of GT -> AUC near 1 over the 0..20mm range
+    assert cb.pck_j.get_auc() > 0.9
+
+
+def test_prediction_saver(tmp_path):
+    cb = PredictionSaverCallback(exp_dir=str(tmp_path))
+    preds, batch = fake_preds_batch()
+    cb(preds, batch, 3)
+    payload = pickle.load(open(tmp_path / "preds_000003.pkl", "rb"))
+    assert payload["pred_verts_3d"].shape == (2, 778, 3)
+
+
+def test_drawing_callback(tmp_path):
+    from poem_v2_tpu.training.draw_callback import DrawingHandCallback
+
+    cb = DrawingHandCallback(exp_dir=str(tmp_path), max_samples=2)
+    preds, batch = fake_preds_batch()
+    # place the hand in front of the camera so projection is sane
+    preds["pred_joints_3d"][..., 2] += 0.5
+    preds["pred_verts_3d"][..., 2] += 0.5
+    batch["master_joints_3d"][..., 2] += 0.5
+    cb(preds, batch, 0)
+    files = os.listdir(tmp_path / "draws")
+    assert len(files) == 2
