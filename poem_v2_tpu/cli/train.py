@@ -69,6 +69,12 @@ def main(argv=None):
 
     first = next(iter(batch_iterator(dataset, batch_size, args.view_max, batch_size)))
     state = trainer.init_state({k: jnp.asarray(v) for k, v in first.items()})
+    pretrained = cfg.MODEL.get("PRETRAINED", None)
+    if pretrained:
+        # warm-start weights only (the huge tier warm-starts from the
+        # huge-part checkpoint — reference train_huge.yaml / --reload)
+        state = state.replace(params=Recorder.load_params(pretrained, state.params))
+        logger.info(f"warm-started weights from {pretrained}")
     if args.resume:
         state = recorder.resume(state, args.resume)
         logger.info(f"resumed from {args.resume} at step {int(state.step)}")
