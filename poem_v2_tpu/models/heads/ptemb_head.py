@@ -116,6 +116,7 @@ class POEMGeneralizedHead(nn.Module):
     n_neighbor: int = 32
     n_neighbor_query: int = 32
     use_flash: bool = False
+    remat: bool = True  # gradient-checkpoint decoder blocks in training
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -184,6 +185,7 @@ class POEMGeneralizedHead(nn.Module):
             n_neighbor_query=self.n_neighbor_query,
             parametric_output=self.parametric_output,
             use_flash=self.use_flash,
+            remat=self.remat,
             dtype=self.dtype,
             name="transformer",
         )

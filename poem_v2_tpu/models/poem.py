@@ -135,7 +135,7 @@ def _default_use_flash() -> bool:
 
 
 def create_poem_model(
-    cfg: Config, dtype=jnp.float32, use_flash: bool = None
+    cfg: Config, dtype=jnp.float32, use_flash: bool = None, remat: bool = True
 ) -> Tuple[POEMNet, Dict[str, Any]]:
     """Build a POEMNet + auxiliary constants from a reference-schema config.
 
@@ -204,6 +204,7 @@ def create_poem_model(
         n_neighbor=tr_cfg.N_NEIGHBOR,
         n_neighbor_query=tr_cfg.N_NEIGHBOR_QUERY,
         use_flash=use_flash,
+        remat=remat,
         dtype=dtype,
     )
 

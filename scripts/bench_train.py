@@ -21,6 +21,7 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--backbone", type=str, default="resnet34")
     p.add_argument("--dtype", type=str, default="bf16")
+    p.add_argument("--no-remat", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -38,7 +39,7 @@ def main():
     cfg.HEAD.TRANSFORMER.N_NEIGHBOR = 32
     cfg.HEAD.TRANSFORMER.N_NEIGHBOR_QUERY = 32
     cfg.HEAD.POSITIONAL_ENCODING.NUM_FEATS = 128
-    model, aux = create_poem_model(cfg, dtype=dtype)
+    model, aux = create_poem_model(cfg, dtype=dtype, remat=not args.no_remat)
 
     mesh = create_mesh()
     trainer = Trainer(model, aux, train_cfg=cfg.TRAIN, loss_cfg=cfg.LOSS, mesh=mesh,
