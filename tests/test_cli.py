@@ -1,0 +1,80 @@
+"""CLI entry smoke tests (argument plumbing + end-to-end eval run)."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+cv2 = pytest.importorskip("cv2")
+
+from helpers import TINY_MODEL_CFG
+from test_data import make_shard
+
+from poem_v2_tpu.utils.config import Config
+
+
+def test_eval_cli_end_to_end(tmp_path, monkeypatch):
+    from poem_v2_tpu.cli.eval import main as eval_main
+
+    shard = make_shard(str(tmp_path / "Test_mv_test-000000.tar"), n_samples=4, img_size=64)
+    cfg = Config(
+        {
+            "TRAIN": {"BATCH_SIZE": 2, "MANUAL_SEED": 1, "EPOCH": 1,
+                      "OPTIMIZER": "adam", "LR": 1e-4, "SCHEDULER": "constant"},
+            "DATA_PRESET": {"CENTER_IDX": 0, "NUM_JOINTS": 21, "NUM_VERTS": 778,
+                            "IMAGE_SIZE": [64, 64]},
+            "DATASET": {
+                "TEST": {
+                    "TYPE": "MultiviewWebDataset",
+                    "URLS": shard,
+                    "DATA_SPLIT": "test",
+                    "EPOCH_SIZE": 4,
+                    "RANDOM_N_VIEWS": False,
+                    "TRANSFORM": {"TYPE": "SimpleTransform3DMultiView", "AUG": False},
+                }
+            },
+            "MODEL": TINY_MODEL_CFG.to_dict(),
+        }
+    )
+    cfg_path = tmp_path / "eval_cfg.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg.to_dict(), f)
+
+    monkeypatch.chdir(tmp_path)
+    results = eval_main(
+        ["-c", str(cfg_path), "--exp_id", "default", "--view_max", "3",
+         "--eval_extra", "auc", "--dtype", "fp32"]
+    )
+    assert np.isfinite(results["joints_3d_mepe"])
+    assert "pa_mpjpe" in results
+
+
+def test_train_cli_one_epoch_synthetic(tmp_path, monkeypatch):
+    from poem_v2_tpu.cli.train import main as train_main
+
+    cfg = Config(
+        {
+            "TRAIN": {"BATCH_SIZE": 2, "MANUAL_SEED": 1, "EPOCH": 1, "OPTIMIZER": "adam",
+                      "LR": 1e-3, "SCHEDULER": "constant", "LOG_INTERVAL": 1,
+                      "GRAD_CLIP_ENABLED": True, "GRAD_CLIP": {"TYPE": 2, "NORM": 1.0}},
+            "DATA_PRESET": {"CENTER_IDX": 0, "NUM_JOINTS": 21, "NUM_VERTS": 778,
+                            "IMAGE_SIZE": [64, 64]},
+            "DATASET": {"TRAIN": {"TYPE": "Synthetic", "VIEW_MAX": 2, "IMAGE_SIZE": 64,
+                                  "EPOCH_SIZE": 4}},
+            "MODEL": TINY_MODEL_CFG.to_dict(),
+        }
+    )
+    cfg_path = tmp_path / "train_cfg.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg.to_dict(), f)
+
+    monkeypatch.chdir(tmp_path)
+    state = train_main(
+        ["-c", str(cfg_path), "--exp_id", "default", "--view_max", "2",
+         "--mesh_data", "1", "--dtype", "fp32"]
+    )
+    assert int(state.step) == 2  # 4 samples / batch 2
+    # checkpoint written
+    exps = [p for p in os.listdir(tmp_path / "exp")]
+    assert exps
