@@ -45,6 +45,9 @@ def main():
 
     cfg = _tiny_cfg(embed=256, nsample=4096, backbone=args.backbone)
     cfg.BACKBONE.NORM = args.norm
+    if args.backbone == "HRNet":
+        cfg.BACKBONE.WIDTH = 40
+        cfg.HEAD.IN_CHANNELS = 160
     cfg.HEAD.TRANSFORMER.N_BLOCKS = 3
     cfg.HEAD.TRANSFORMER.N_NEIGHBOR = 32
     cfg.HEAD.TRANSFORMER.N_NEIGHBOR_QUERY = 32
