@@ -28,11 +28,13 @@ from .bricks.attention import BertFFN, MLP
 
 
 class ProjectiveAttention(nn.Module):
-    """Deformable projective attention for one feature level.
+    """Multi-scale deformable projective attention.
 
     For each query: project its 3D point to each view, predict
-    ``num_points`` 2D offsets + weights per head, bilinear-sample the
-    view features, and combine with view masking.
+    ``num_points`` 2D offsets + attention weights per (head, level),
+    bilinear-sample each pyramid level's view features, and combine
+    with view masking — the TPU re-design of the reference's
+    multi-scale ``ProjAttn`` CUDA op (mvp_decoder.py:97-324).
     """
 
     embed_dims: int = 256
@@ -46,48 +48,53 @@ class ProjectiveAttention(nn.Module):
         self,
         query: jnp.ndarray,  # (B, Q, C)
         query_xyz: jnp.ndarray,  # (B, Q, 3) world
-        feat: jnp.ndarray,  # (B, V, H, W, C)
+        feats,  # (B, V, H, W, C) or list of such pyramid levels
         view_mask: jnp.ndarray,  # (B, V)
         cam_intr: jnp.ndarray,
         cam_extr: jnp.ndarray,
         inp_res: Tuple[int, int],
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        if not isinstance(feats, (list, tuple)):
+            feats = [feats]
         B, Q, C = query.shape
-        V, H, W = feat.shape[1], feat.shape[2], feat.shape[3]
+        V = feats[0].shape[1]
         nh, npt = self.num_heads, self.num_points
+        nl = len(feats)
         hd = self.embed_dims // nh
 
         proj = project_world_to_pixel(query_xyz.astype(jnp.float32), cam_extr, cam_intr)
         base = pixel_to_grid(proj, inp_res)  # (B, V, Q, 2) in [-1, 1]
 
-        # per-head/per-point offsets and attention weights from the query
-        offsets = nn.Dense(nh * npt * 2, dtype=self.dtype, name="sampling_offsets")(query)
-        offsets = offsets.reshape(B, Q, nh, npt, 2).astype(jnp.float32) / jnp.asarray(
-            [W, H], dtype=jnp.float32
-        )
-        weights = nn.Dense(nh * npt, dtype=self.dtype, name="attention_weights")(query)
-        weights = nn.softmax(weights.reshape(B, Q, nh, npt), axis=-1)
+        # per-(head, level, point) offsets and softmax weights from the query
+        offsets = nn.Dense(nh * nl * npt * 2, dtype=self.dtype, name="sampling_offsets")(query)
+        offsets = offsets.reshape(B, Q, nh, nl, npt, 2).astype(jnp.float32)
+        weights = nn.Dense(nh * nl * npt, dtype=self.dtype, name="attention_weights")(query)
+        weights = nn.softmax(weights.reshape(B, Q, nh, nl * npt), axis=-1)
+        weights = weights.reshape(B, Q, nh, nl, npt)
 
-        value = nn.Dense(self.embed_dims, dtype=self.dtype, name="value_proj")(feat)
-        value = value.reshape(B, V, H, W, nh, hd)
+        value_proj = nn.Dense(self.embed_dims, dtype=self.dtype, name="value_proj")
 
-        # sample positions: (B, V, Q, nh, npt, 2)
-        pos = base[:, :, :, None, None, :] + offsets[:, None]
-        pos_flat = pos.reshape(B * V, Q * nh * npt, 2)
-        # gather each head's slice from the value map
-        val_flat = value.reshape(B * V, H, W, nh * hd)
-        sampled = grid_sample_points(val_flat, pos_flat.astype(val_flat.dtype))
-        sampled = sampled.reshape(B, V, Q, nh, npt, nh, hd)
-        # take matching head channel block: einsum over diag of (nh, nh)
+        out = jnp.zeros((B, Q, nh, hd), dtype=self.dtype)
+        vm = view_mask[:, :, None, None, None].astype(self.dtype)
+        n_views = jnp.maximum(jnp.sum(view_mask, axis=1).astype(self.dtype), 1.0)
         idx = jnp.arange(nh)
-        sampled = sampled[:, :, :, idx, :, idx, :]  # (nh, B, V, Q, npt, hd)
-        sampled = jnp.moveaxis(sampled, 0, 3)  # (B, V, Q, nh, npt, hd)
+        for li, feat in enumerate(feats):
+            H, W = feat.shape[2], feat.shape[3]
+            value = value_proj(feat).reshape(B, V, H, W, nh, hd)
+            off = offsets[:, :, :, li] / jnp.asarray([W, H], dtype=jnp.float32)
+            pos = base[:, :, :, None, None, :] + off[:, None]  # (B, V, Q, nh, npt, 2)
+            pos_flat = pos.reshape(B * V, Q * nh * npt, 2)
+            val_flat = value.reshape(B * V, H, W, nh * hd)
+            sampled = grid_sample_points(val_flat, pos_flat.astype(val_flat.dtype))
+            sampled = sampled.reshape(B, V, Q, nh, npt, nh, hd)
+            sampled = sampled[:, :, :, idx, :, idx, :]  # diag over heads
+            sampled = jnp.moveaxis(sampled, 0, 3)  # (B, V, Q, nh, npt, hd)
+            lvl = jnp.einsum(
+                "bvqhpd,bqhp->bvqhd", sampled, weights[:, :, :, li].astype(sampled.dtype)
+            )
+            out = out + jnp.sum(lvl * vm, axis=1) / n_views[:, None, None, None]
 
-        out = jnp.einsum("bvqhpd,bqhp->bvqhd", sampled, weights.astype(sampled.dtype))
-        vm = view_mask[:, :, None, None, None].astype(out.dtype)
-        n_views = jnp.maximum(jnp.sum(view_mask, axis=1).astype(out.dtype), 1.0)
-        out = jnp.sum(out * vm, axis=1) / n_views[:, None, None, None]  # (B, Q, nh, hd)
         out = out.reshape(B, Q, self.embed_dims)
         out = nn.Dense(self.embed_dims, dtype=self.dtype, name="output_proj")(out)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
