@@ -117,6 +117,10 @@ class POEMGeneralizedHead(nn.Module):
     n_neighbor_query: int = 32
     use_flash: bool = False
     remat: bool = True  # gradient-checkpoint decoder blocks in training
+    # decoder generation: "PtEmbedTR" (flagship bert+vector-attn stack) or
+    # "PtEmbedTRv3" (METRO coarse stage + point-transformer refinement,
+    # reference lib/models/layers/ptEmb_transformer.py:124-300)
+    decoder_type: str = "PtEmbedTR"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -175,6 +179,41 @@ class POEMGeneralizedHead(nn.Module):
         template = jnp.asarray(self.template_mesh, dtype=f32)  # (799, 3), centered
         pt_xyz = jnp.broadcast_to((bps_basis / self.radius)[None], (B, self.nsample, 3))
         query_xyz = jnp.broadcast_to((template / self.radius)[None], (B, self.num_query, 3))
+
+        if self.decoder_type == "PtEmbedTRv3":
+            # METRO coarse stage + PT refinement; re-samples per-vertex
+            # features from the positional-encoded map at the coarse mesh.
+            from ..decoder_v3 import PtEmbedTRv3  # local: avoids import cycle
+
+            if self.parametric_output:
+                raise ValueError("PtEmbedTRv3 has no parametric (MANO) output branch")
+            coords = PtEmbedTRv3(
+                feat_dim=self.pt_feat_dim,
+                pt_n_blocks=self.n_blocks,
+                pt_n_neighbor=self.n_neighbor,
+                pt_n_neighbor_query=self.n_neighbor_query,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name="transformer",
+            )(
+                pt_xyz,
+                merged,
+                query_xyz,
+                query_feat,
+                x,
+                view_mask,
+                cam_intr,
+                cam_extr,
+                ref_center,
+                self.radius,
+                inp_res=inp_res,
+                deterministic=deterministic,
+            )
+            coords = jnp.nan_to_num(coords.astype(f32))
+            results = {
+                "all_coords_preds": coords * self.radius + ref_center[None, :, None, :]
+            }
+            return results
 
         decoder = PtEmbedDecoder(
             n_blocks=self.n_blocks,

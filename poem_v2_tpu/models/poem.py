@@ -205,6 +205,11 @@ def create_poem_model(
         n_neighbor_query=tr_cfg.N_NEIGHBOR_QUERY,
         use_flash=use_flash,
         remat=remat,
+        decoder_type=(
+            "PtEmbedTRv3"
+            if tr_cfg.get("TYPE", "PtEmbedTR") == "PtEmbedTRv3"
+            else "PtEmbedTR"
+        ),
         dtype=dtype,
     )
 

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import pytest
 
 from helpers import TINY_MODEL_CFG, tiny_batch
+from poem_v2_tpu.utils.config import Config
 from poem_v2_tpu.models.poem import create_poem_model
 from poem_v2_tpu.models.heads.ptemb_head import MergeFeaturesMV, generate_bps_basis
 from poem_v2_tpu.models.positional import sine_positional_encoding_3d
@@ -237,3 +238,26 @@ class TestParametricVariant:
         np.testing.assert_allclose(
             np.asarray(preds["all_coords_preds"][-1]), np.asarray(mesh + centre), atol=1e-4
         )
+
+
+def test_trv3_head_end_to_end():
+    """TRANSFORMER.TYPE=PtEmbedTRv3 routes the head through the METRO+PT
+    hybrid decoder; forward shapes are (1 coarse + N_BLOCKS refined)."""
+    cfg = Config(TINY_MODEL_CFG.to_dict())
+    cfg.HEAD.TRANSFORMER.TYPE = "PtEmbedTRv3"
+    model, aux = create_poem_model(cfg)
+    batch = tiny_batch(batch_size=2, view_max=3, image_size=64, random_views=False)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "noise": rng, "dropout": rng},
+        batch["image"], batch["view_mask"], batch["cam_intr"],
+        batch["cam_extr"], batch["master_joints_3d"], train=False,
+    )
+    preds = model.apply(
+        variables, batch["image"], batch["view_mask"], batch["cam_intr"],
+        batch["cam_extr"], batch["master_joints_3d"], train=False,
+    )
+    n_blocks = cfg.HEAD.TRANSFORMER.N_BLOCKS
+    assert preds["all_coords_preds"].shape == (n_blocks + 1, 2, 799, 3)
+    assert preds["pred_verts_3d"].shape == (2, 778, 3)
+    assert np.isfinite(np.asarray(preds["all_coords_preds"])).all()
