@@ -261,3 +261,56 @@ def test_trv3_head_end_to_end():
     assert preds["all_coords_preds"].shape == (n_blocks + 1, 2, 799, 3)
     assert preds["pred_verts_3d"].shape == (2, 778, 3)
     assert np.isfinite(np.asarray(preds["all_coords_preds"])).all()
+
+
+class TestOperationOrderKit:
+    """mmcv-style BaseTransformerLayer configuration surface."""
+
+    def _inputs(self, B=2, Q=5, N=7, C=32):
+        rng = jax.random.PRNGKey(0)
+        ks = jax.random.split(rng, 4)
+        q = jax.random.normal(ks[0], (B, Q, C))
+        m = jax.random.normal(ks[1], (B, N, C))
+        qp = jax.random.normal(ks[2], (B, Q, C))
+        mp = jax.random.normal(ks[3], (B, N, C))
+        return q, m, qp, mp
+
+    def test_post_and_pre_norm_orders(self):
+        from poem_v2_tpu.models.bricks import BaseTransformerLayer
+
+        q, m, qp, mp = self._inputs()
+        for order in [
+            ("self_attn", "norm", "cross_attn", "norm", "ffn", "norm"),
+            ("norm", "self_attn", "norm", "cross_attn", "norm", "ffn"),
+        ]:
+            layer = BaseTransformerLayer(embed_dims=32, num_heads=4,
+                                         feedforward_channels=64,
+                                         operation_order=order)
+            vs = layer.init(jax.random.PRNGKey(1), q, m, qp, mp)
+            out = layer.apply(vs, q, m, qp, mp)
+            assert out.shape == q.shape
+            assert np.isfinite(np.asarray(out)).all()
+
+    def test_masked_keys_are_ignored(self):
+        from poem_v2_tpu.models.bricks import BaseTransformerLayer
+
+        q, m, qp, mp = self._inputs()
+        mask = jnp.array([[True] * 4 + [False] * 3] * 2)
+        layer = BaseTransformerLayer(embed_dims=32, num_heads=4,
+                                     feedforward_channels=64)
+        vs = layer.init(jax.random.PRNGKey(1), q, m, qp, mp, mask)
+        out1 = layer.apply(vs, q, m, qp, mp, mask)
+        # perturb masked memory rows -> output must be unchanged
+        m2 = m.at[:, 4:].set(m[:, 4:] + 100.0)
+        out2 = layer.apply(vs, q, m2, qp, mp, mask)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+    def test_sequence_intermediates(self):
+        from poem_v2_tpu.models.bricks import TransformerLayerSequence
+
+        q, m, qp, mp = self._inputs()
+        seq = TransformerLayerSequence(num_layers=3, embed_dims=32, num_heads=4,
+                                       feedforward_channels=64)
+        vs = seq.init(jax.random.PRNGKey(1), q, m, qp, mp)
+        out = seq.apply(vs, q, m, qp, mp)
+        assert out.shape == (3,) + q.shape
