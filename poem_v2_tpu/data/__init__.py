@@ -58,4 +58,11 @@ def create_dataset(cfg, data_preset=None, is_train: bool = True, **kwargs):
             image_size=cfg.get("IMAGE_SIZE", 256),
             epoch_size=cfg.get("EPOCH_SIZE", 0),
         )
+    # map-style SDK adapters (DexYCB/HO3D/OakInk/Interhand/Arctic/FreiHAND/
+    # YT3D + multi-view variants) register themselves on import
+    from . import adapters  # noqa: F401
+    from ..utils.registry import DATASET
+
+    if cfg.TYPE in DATASET:
+        return DATASET.get(cfg.TYPE)(cfg)
     raise ValueError(f"unknown dataset TYPE {cfg.TYPE!r}")
