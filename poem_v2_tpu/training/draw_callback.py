@@ -20,11 +20,26 @@ from .evaluator import IdleCallback
 
 
 class DrawingHandCallback(IdleCallback):
-    def __init__(self, exp_dir: str, max_samples: int = 64):
+    def __init__(self, exp_dir: str, max_samples: int = 64, render_mesh: bool = False,
+                 faces=None):
+        """``render_mesh=True`` additionally rasterises the predicted mesh
+        over each view (host-side painter renderer, viztools/renderer.py)
+        — the reference's OpenDR overlay path. ``faces``: (F, 3) mesh
+        faces; defaults to the MANO topology."""
         self.exp_dir = os.path.join(exp_dir, "draws")
         os.makedirs(self.exp_dir, exist_ok=True)
         self.max_samples = max_samples
+        self.render_mesh = render_mesh
+        self._faces = faces
         self._drawn = 0
+
+    @property
+    def faces(self):
+        if self._faces is None:
+            from ..mano import ManoLayer
+
+            self._faces = np.asarray(ManoLayer().faces)
+        return self._faces
 
     def __call__(self, preds: Dict, batch: Dict, step_idx: int, **kwargs):
         if self._drawn >= self.max_samples:
@@ -56,6 +71,12 @@ class DrawingHandCallback(IdleCallback):
                 if not vm[b, v]:
                     continue
                 img = denormalize_image(images[b, v])
+                if self.render_mesh:
+                    from ..viztools.renderer import render_mesh_overlay
+
+                    inv = np.linalg.inv(np.asarray(extr[b, v], dtype=np.float64))
+                    v_cam = np.asarray(pred_v[b]) @ inv[:3, :3].T + inv[:3, 3]
+                    img = render_mesh_overlay(img, v_cam, self.faces, np.asarray(intr[b, v]))
                 img = draw_verts_2d(img, pv2d[b, v])
                 img = draw_joints_2d(img, pj2d[b, v])
                 img = draw_joints_2d(img, gj2d[b, v], color_override=(64, 64, 255), radius=1)

@@ -63,3 +63,36 @@ def test_drawing_callback(tmp_path):
     cb(preds, batch, 0)
     files = os.listdir(tmp_path / "draws")
     assert len(files) == 2
+
+
+def test_mesh_renderer_overlay():
+    from poem_v2_tpu.viztools.renderer import draw_batch_mesh_images, render_mesh_overlay
+
+    rs = np.random.RandomState(0)
+    img = np.zeros((48, 48, 3), np.uint8)
+    # small tetra in front of the camera
+    verts = np.array([[0, 0, 0.5], [0.05, 0, 0.5], [0, 0.05, 0.55], [0.02, 0.02, 0.45]])
+    faces = np.array([[0, 1, 2], [0, 1, 3], [1, 2, 3], [0, 2, 3]])
+    intr = np.array([[200.0, 0, 24], [0, 200.0, 24], [0, 0, 1]])
+    out = render_mesh_overlay(img, verts, faces, intr)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert out.sum() > 0  # something was drawn
+
+    images = np.zeros((1, 2, 48, 48, 3), np.uint8)
+    extr = np.tile(np.eye(4), (1, 2, 1, 1))
+    intrs = np.tile(intr, (1, 2, 1, 1))
+    batch_out = draw_batch_mesh_images(images, verts[None], intrs, extr, faces,
+                                       view_mask=np.ones((1, 2), bool))
+    assert batch_out.sum() > 0
+
+
+def test_drawing_callback_with_mesh(tmp_path):
+    from poem_v2_tpu.training.draw_callback import DrawingHandCallback
+
+    cb = DrawingHandCallback(exp_dir=str(tmp_path), max_samples=1, render_mesh=True)
+    preds, batch = fake_preds_batch()
+    preds["pred_joints_3d"][..., 2] += 0.5
+    preds["pred_verts_3d"][..., 2] += 0.5
+    batch["master_joints_3d"][..., 2] += 0.5
+    cb(preds, batch, 0)
+    assert len(os.listdir(tmp_path / "draws")) == 1
