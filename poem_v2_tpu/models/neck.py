@@ -47,9 +47,34 @@ class ConvBlock(nn.Module):
         return x
 
 
+def _upsample2x_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact 2x bilinear (half-pixel, edge-clamped) along one axis.
+
+    For scale 2 with half-pixel centres the two output phases are fixed
+    (0.25, 0.75) blends of neighbouring inputs, so the general gather in
+    ``jax.image.resize`` reduces to two shifted FMAs — measured ~4x
+    faster on TPU at neck shapes (scripts/bench_necks.py).
+    """
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 1)
+    xp = jnp.pad(x, pad, mode="edge")  # (n + 2) along axis
+
+    def sl(start):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(start, start + n)
+        return xp[tuple(idx)]
+
+    even = 0.25 * sl(0) + 0.75 * sl(1)
+    odd = 0.75 * sl(1) + 0.25 * sl(2)
+    out = jnp.stack([even, odd], axis=axis + 1)  # phase axis after `axis`
+    shape = list(x.shape)
+    shape[axis] = 2 * n
+    return out.reshape(shape)
+
+
 def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
-    b, h, w, c = x.shape
-    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+    return _upsample2x_axis(_upsample2x_axis(x, 1), 2)
 
 
 def maxpool2x(x: jnp.ndarray) -> jnp.ndarray:

@@ -185,6 +185,8 @@ def convert_poem_checkpoint(
     used = set(convert_head(state, params))
     if arch.startswith("resnet") and "backbone" in params:
         used |= set(convert_resnet_backbone(state, params, arch=arch))
+    elif arch == "HRNet" and "backbone" in params:
+        used |= set(convert_hrnet_backbone(state, params))
     if "feat_neck" in params and "uv_neck" in params:
         used |= set(convert_necks(state, params))
     leftover = [k for k in state if k not in used]
@@ -280,4 +282,92 @@ def convert_necks(state: Dict, params: Dict, hrnet: bool = False) -> List[str]:
     used += convert_conv_block(state, "feat_in", feat, ["feat_in"])
     used += convert_conv_block(state, "uv_out", uv, ["uv_out"])
     used += convert_conv_block(state, "uv_in", uv, ["uv_in"])
+    return used
+
+
+def convert_hrnet_backbone(
+    state: Dict,
+    params: Dict,
+    prefix: str = "img_backbone.",
+    stage_modules: Tuple[int, int, int] = (1, 4, 3),
+    stage_blocks: int = 4,
+) -> List[str]:
+    """Map the reference HRNet trunk onto the flax backbone.
+
+    Reference layout (lib/models/backbones/hrnet.py:240-340): conv1/bn1,
+    conv2/bn2 stem; layer1 4x Bottleneck; transition{1,2,3} Sequential
+    conv+bn (nested once for new downsampled branches); stage{2,3,4}
+    HighResolutionModules with branches.{i}.{b} BasicBlocks and
+    fuse_layers.{i}.{j} (1x1 conv+bn upsample for j > i, stride-2 3x3
+    conv+bn chains for j < i). The ImageNet classification head
+    (incre/downsamp/final/classifier) is not part of the POEM forward
+    and is left to the caller's leftover report.
+
+    Requires the flax model built with NORM=frozen_bn.
+    """
+    used: List[str] = []
+    bb = params["backbone"]
+
+    def put_conv(torch_key, path):
+        if torch_key in state:
+            set_in_tree(bb, path + ["kernel"], convert_conv(state[torch_key]))
+            used.append(torch_key)
+
+    def put_bn(torch_prefix, path):
+        used.extend(convert_frozen_bn(state, torch_prefix, bb, path))
+
+    put_conv(prefix + "conv1.weight", ["stem1"])
+    put_bn(prefix + "bn1", ["stem1_norm"])
+    put_conv(prefix + "conv2.weight", ["stem2"])
+    put_bn(prefix + "bn2", ["stem2_norm"])
+
+    # stage 1: Bottlenecks (conv1..3 + optional downsample)
+    for b in range(4):
+        t_base = f"{prefix}layer1.{b}."
+        j_block = f"layer1_block{b}"
+        for ci in range(3):
+            put_conv(t_base + f"conv{ci + 1}.weight", [j_block, f"Conv_{ci}"])
+            put_bn(t_base + f"bn{ci + 1}", [j_block, f"FrozenBatchNorm_{ci}"])
+        if t_base + "downsample.0.weight" in state:
+            put_conv(t_base + "downsample.0.weight", [j_block, "Conv_3"])
+            put_bn(t_base + "downsample.1", [j_block, "FrozenBatchNorm_3"])
+
+    # transitions: same-resolution entries are Sequential(conv, bn, relu);
+    # new-branch entries are nested Sequential(Sequential(conv, bn, relu))
+    for t_key, j_name in [
+        ("transition1.0.0", "t1_b0"), ("transition1.0.1", "t1_b0_norm"),
+        ("transition1.1.0.0", "t1_b1"), ("transition1.1.0.1", "t1_b1_norm"),
+        ("transition2.2.0.0", "t2_b2"), ("transition2.2.0.1", "t2_b2_norm"),
+        ("transition3.3.0.0", "t3_b3"), ("transition3.3.0.1", "t3_b3_norm"),
+    ]:
+        if j_name.endswith("_norm"):
+            put_bn(prefix + t_key, [j_name])
+        else:
+            put_conv(prefix + t_key + ".weight", [j_name])
+
+    # stages 2..4
+    for s_idx, n_modules in zip((2, 3, 4), stage_modules):
+        n_branches = s_idx
+        for m in range(n_modules):
+            t_mod = f"{prefix}stage{s_idx}.{m}."
+            j_mod = f"stage{s_idx}_m{m}"
+            for i in range(n_branches):
+                for b in range(stage_blocks):
+                    t_blk = f"{t_mod}branches.{i}.{b}."
+                    j_blk = [j_mod, f"branch{i}_block{b}"]
+                    for ci in range(2):  # BasicBlock
+                        put_conv(t_blk + f"conv{ci + 1}.weight", j_blk + [f"Conv_{ci}"])
+                        put_bn(t_blk + f"bn{ci + 1}", j_blk + [f"FrozenBatchNorm_{ci}"])
+            for i in range(n_branches):
+                for j in range(n_branches):
+                    if j > i:
+                        t_f = f"{t_mod}fuse_layers.{i}.{j}."
+                        put_conv(t_f + "0.weight", [j_mod, "fuse", f"up_{j}_to_{i}_conv"])
+                        put_bn(t_f + "1", [j_mod, "fuse", f"up_{j}_to_{i}_norm"])
+                    elif j < i:
+                        for k in range(i - j):
+                            t_f = f"{t_mod}fuse_layers.{i}.{j}.{k}."
+                            put_conv(t_f + "0.weight",
+                                     [j_mod, "fuse", f"down_{j}_to_{i}_conv{k}"])
+                            put_bn(t_f + "1", [j_mod, "fuse", f"down_{j}_to_{i}_norm{k}"])
     return used

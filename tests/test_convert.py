@@ -195,3 +195,91 @@ def test_neck_conversion():
         fp["ConvBlock_0"]["Conv_0"]["kernel"],
         state["feat_delayer.0.conv.weight"].numpy().transpose(2, 3, 1, 0),
     )
+
+
+def test_hrnet_backbone_conversion():
+    """Fabricate a torch HRNet trunk state dict (tiny spec) and check the
+    converter fills the flax tree with correctly transposed weights."""
+    from poem_v2_tpu.models.backbones.hrnet import HRNet
+    from poem_v2_tpu.utils.torch_convert import convert_hrnet_backbone
+
+    model = HRNet(width=8, norm="frozen_bn", stage_modules=(1, 1, 1), stage_blocks=1)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    g = torch.Generator().manual_seed(0)
+    state = {}
+
+    def add_conv(tkey, jpath):
+        node = params
+        for p in jpath:
+            node = node[p]
+        kh, kw, cin, cout = node["kernel"].shape
+        state[f"img_backbone.{tkey}.weight"] = torch.randn(cout, cin, kh, kw, generator=g)
+
+    def add_bn(tkey, jpath):
+        node = params
+        for p in jpath:
+            node = node[p]
+        c = node["scale"].shape[0]
+        state[f"img_backbone.{tkey}.weight"] = torch.randn(c, generator=g)
+        state[f"img_backbone.{tkey}.bias"] = torch.randn(c, generator=g)
+        state[f"img_backbone.{tkey}.running_mean"] = torch.randn(c, generator=g)
+        state[f"img_backbone.{tkey}.running_var"] = torch.rand(c, generator=g) + 0.5
+
+    add_conv("conv1", ["stem1"]); add_bn("bn1", ["stem1_norm"])
+    add_conv("conv2", ["stem2"]); add_bn("bn2", ["stem2_norm"])
+    for b in range(4):
+        for ci in range(3):
+            add_conv(f"layer1.{b}.conv{ci+1}", [f"layer1_block{b}", f"Conv_{ci}"])
+            add_bn(f"layer1.{b}.bn{ci+1}", [f"layer1_block{b}", f"FrozenBatchNorm_{ci}"])
+        if f"Conv_3" in params[f"layer1_block{b}"]:
+            add_conv(f"layer1.{b}.downsample.0", [f"layer1_block{b}", "Conv_3"])
+            add_bn(f"layer1.{b}.downsample.1", [f"layer1_block{b}", "FrozenBatchNorm_3"])
+    for tk, jn in [("transition1.0.0", "t1_b0"), ("transition1.1.0.0", "t1_b1"),
+                   ("transition2.2.0.0", "t2_b2"), ("transition3.3.0.0", "t3_b3")]:
+        add_conv(tk, [jn]); add_bn(tk[:-2] + ".1" if tk.count(".") == 3 else tk[:-2] + ".1",
+                                   [jn + "_norm"])
+    for s_idx in (2, 3, 4):
+        for i in range(s_idx):
+            t_blk = f"stage{s_idx}.0.branches.{i}.0"
+            j_blk = [f"stage{s_idx}_m0", f"branch{i}_block0"]
+            for ci in range(2):
+                add_conv(f"{t_blk}.conv{ci+1}", j_blk + [f"Conv_{ci}"])
+                add_bn(f"{t_blk}.bn{ci+1}", j_blk + [f"FrozenBatchNorm_{ci}"])
+        for i in range(s_idx):
+            for j in range(s_idx):
+                if j > i:
+                    add_conv(f"stage{s_idx}.0.fuse_layers.{i}.{j}.0",
+                             [f"stage{s_idx}_m0", "fuse", f"up_{j}_to_{i}_conv"])
+                    add_bn(f"stage{s_idx}.0.fuse_layers.{i}.{j}.1",
+                           [f"stage{s_idx}_m0", "fuse", f"up_{j}_to_{i}_norm"])
+                elif j < i:
+                    for k in range(i - j):
+                        add_conv(f"stage{s_idx}.0.fuse_layers.{i}.{j}.{k}.0",
+                                 [f"stage{s_idx}_m0", "fuse", f"down_{j}_to_{i}_conv{k}"])
+                        add_bn(f"stage{s_idx}.0.fuse_layers.{i}.{j}.{k}.1",
+                               [f"stage{s_idx}_m0", "fuse", f"down_{j}_to_{i}_norm{k}"])
+
+    used = convert_hrnet_backbone(state, {"backbone": params},
+                                  stage_modules=(1, 1, 1), stage_blocks=1)
+    assert set(used) == set(state), f"unconsumed: {set(state) - set(used)}"
+
+    np.testing.assert_allclose(
+        params["stem1"]["kernel"],
+        state["img_backbone.conv1.weight"].numpy().transpose(2, 3, 1, 0),
+    )
+    np.testing.assert_allclose(
+        params["stage4_m0"]["fuse"]["up_2_to_0_conv"]["kernel"],
+        state["img_backbone.stage4.0.fuse_layers.0.2.0.weight"].numpy().transpose(2, 3, 1, 0),
+    )
+    np.testing.assert_allclose(
+        params["stage3_m0"]["fuse"]["down_0_to_2_norm1"]["var"],
+        state["img_backbone.stage3.0.fuse_layers.2.0.1.1.running_var"].numpy(),
+    )
+
+    # converted params still run
+    out = HRNet(width=8, norm="frozen_bn", stage_modules=(1, 1, 1), stage_blocks=1).apply(
+        {"params": params}, jnp.zeros((1, 64, 64, 3))
+    )
+    assert len(out) == 4 and all(np.isfinite(np.asarray(o)).all() for o in out)
