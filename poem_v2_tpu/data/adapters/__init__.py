@@ -12,6 +12,7 @@ from .freihand import FreiHAND, FreiHANDV2Extra
 from .ho3d import HO3D, HO3DV3, HO3DMultiView
 from .interhand import InterHand, InterHandMultiView
 from .oakink import OakInk, OakInkMultiView
+from .oakink2 import OakInk2Dev, OakInk2MultiView
 from .yt3d import YT3D
 
 __all__ = [
@@ -21,5 +22,6 @@ __all__ = [
     "HO3D", "HO3DV3", "HO3DMultiView",
     "InterHand", "InterHandMultiView",
     "OakInk", "OakInkMultiView",
+    "OakInk2Dev", "OakInk2MultiView",
     "YT3D",
 ]

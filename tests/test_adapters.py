@@ -338,3 +338,50 @@ def test_create_dataset_routes_adapters(tmp_path):
     ds = create_dataset(Config({"TYPE": "FreiHAND", "DATA_ROOT": root,
                                 "DATA_SPLIT": "train"}))
     assert len(ds) == 6
+
+
+# --------------------------------------------------------------------------
+# OakInk2 dev
+# --------------------------------------------------------------------------
+def make_oakink2_root(root, cams=("c0", "c1"), frames=2):
+    rs = np.random.RandomState(7)
+    d = os.path.join(root, "OakInk2_Dev")
+    anno = os.path.join(d, "packed_anno")
+    tuples = []
+    for fr in range(frames):
+        for cam in cams:
+            t = ["scene_x", "pk01", fr, cam, "rh"]
+            tuples.append(t)
+            rel_img = f"images/pk01/{cam}/{fr:06d}.jpg"
+            _write_img(os.path.join(d, rel_img))
+            sample = {
+                "image_path": rel_img,
+                "cam_intr": np.array([[600.0, 0, 424], [0, 600.0, 240], [0, 0, 1]], np.float32),
+                "joints_cam_rgrd": _rand_joints(rs),
+                "verts_cam": (rs.randn(778, 3) * 0.02 + [0, 0, 0.5]).astype(np.float32),
+                "joints_2d_rgrd": (rs.rand(21, 2) * 32).astype(np.float32),
+                "verts_2d": (rs.rand(778, 2) * 32).astype(np.float32),
+                "mano_pose_cam": rs.randn(48).astype(np.float32) * 0.1,
+                "mano_shape": rs.randn(10).astype(np.float32) * 0.1,
+            }
+            p = os.path.join(anno, "scene_x", "pk01", "anno_rh", cam, f"{fr:06d}.pkl")
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "wb") as f:
+                pickle.dump(sample, f)
+    os.makedirs(anno, exist_ok=True)
+    with open(os.path.join(anno, "split_meta.json"), "w") as f:
+        json.dump({"train": tuples, "val": [], "test": []}, f)
+    return root
+
+
+def test_oakink2_adapter_and_multiview(tmp_path):
+    from poem_v2_tpu.data.adapters import OakInk2Dev, OakInk2MultiView
+
+    ds = OakInk2Dev(make_oakink2_root(str(tmp_path)), "train")
+    assert len(ds) == 4
+    assert ds.get_joints_3d(0).shape == (21, 3)
+    assert ds.get_verts_3d(0).shape == (778, 3)
+    assert ds.get_mano_pose(0).shape == (48,)
+    assert ds.get_image(0).shape == (32, 32, 3)
+    mv = OakInk2MultiView(ds)
+    assert len(mv) == 2 and len(mv.views_of(0)) == 2
