@@ -225,10 +225,11 @@ class DexYCBMultiView(MultiviewDataset):
         item = super().__getitem__(idx)
         # re-base extrinsics to the master camera: both are cam->tag, so
         # T_master<-cam = inv(E_master) @ E_cam (reference 474-482)
+        # (label values must stay per-view lists — the shard consumer
+        # indexes every entry by view; the master is view 0 by position)
         extrs = [np.asarray(e, dtype=np.float64) for e in item["label"]["cam_extr"]]
         inv_master = np.linalg.inv(extrs[0])
         item["label"]["cam_extr"] = [(inv_master @ e).astype(np.float32) for e in extrs]
-        item["label"]["master_id"] = 0
         return item
 
 

@@ -385,3 +385,41 @@ def test_oakink2_adapter_and_multiview(tmp_path):
     assert ds.get_image(0).shape == (32, 32, 3)
     mv = OakInk2MultiView(ds)
     assert len(mv) == 2 and len(mv.views_of(0)) == 2
+
+
+def test_adapter_dump_then_stream_roundtrip(tmp_path):
+    """Close the loop: map-style adapter -> shard dumper -> streaming
+    reader -> padded batch (the production train path end-to-end)."""
+    from poem_v2_tpu.data import MultiviewWebDataset, create_dataset
+    from poem_v2_tpu.data.adapters import DexYCB, DexYCBMultiView
+    from poem_v2_tpu.data.collate import collate_padded
+    from poem_v2_tpu.data.dumper import dump_dataset
+    from poem_v2_tpu.utils.config import Config
+
+    root = make_dexycb_root(str(tmp_path), frames=3)
+    mv = DexYCBMultiView(DexYCB(root, sequences=["20200709-subject-01/20200709_141754"]))
+    n = dump_dataset(mv, str(tmp_path / "tars"), "DexYCB_mv_test", samples_per_shard=2)
+    assert n == 3
+    shards = sorted(os.listdir(tmp_path / "tars"))
+    assert len(shards) == 2  # 2 + 1 rolls over
+
+    ds = MultiviewWebDataset(
+        Config({
+            "TYPE": "MultiviewWebDataset",
+            "URLS": str(tmp_path / "tars" / "DexYCB_mv_test-{000000..000001}.tar"),
+            "DATA_SPLIT": "test",
+            "EPOCH_SIZE": 3,
+            "RANDOM_N_VIEWS": False,
+            "VIEW_MAX": 2,
+            "TRANSFORM": {"TYPE": "SimpleTransform3DMultiView", "AUG": False},
+        }),
+        data_preset=Config({"CENTER_IDX": 0, "NUM_JOINTS": 21, "NUM_VERTS": 778,
+                            "IMAGE_SIZE": [32, 32]}),
+        is_train=False,
+    )
+    samples = list(iter(ds))
+    assert len(samples) == 3
+    batch = collate_padded(samples[:2], view_max=2)
+    assert batch["image"].shape == (2, 2, 32, 32, 3)
+    assert batch["view_mask"].all()
+    assert np.isfinite(batch["master_joints_3d"]).all()
