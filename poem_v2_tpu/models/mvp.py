@@ -147,7 +147,7 @@ class MVPHead(nn.Module):
     @nn.compact
     def __call__(
         self,
-        feat: jnp.ndarray,  # (B, V, H, W, C_in)
+        feat,  # (B, V, H, W, C_in) or list of pyramid levels
         view_mask: jnp.ndarray,
         cam_intr: jnp.ndarray,
         cam_extr: jnp.ndarray,
@@ -155,8 +155,14 @@ class MVPHead(nn.Module):
         inp_res: Tuple[int, int] = (256, 256),
         deterministic: bool = True,
     ):
-        B = feat.shape[0]
-        x = nn.Conv(self.embed_dims, (1, 1), dtype=self.dtype, name="input_proj")(feat)
+        feats = feat if isinstance(feat, (list, tuple)) else [feat]
+        B = feats[0].shape[0]
+        # per-level input projection (the reference projects each pyramid
+        # level separately before ProjAttn, mvp_decoder.py:97-130)
+        x = [
+            nn.Conv(self.embed_dims, (1, 1), dtype=self.dtype, name=f"input_proj_{i}")(f)
+            for i, f in enumerate(feats)
+        ]
 
         query = self.param(
             "joint_queries", nn.initializers.normal(0.02), (self.num_joints, self.embed_dims)
@@ -212,8 +218,11 @@ class MVP(nn.Module):
     def __call__(self, images, view_mask, cam_intr, cam_extr, master_joints_3d=None, train=False):
         B, V, H, W, _ = images.shape
         feats = self.backbone(images.reshape(B * V, H, W, 3).astype(self.dtype))
-        lvl = feats["res_layer3"] if isinstance(feats, dict) else feats[2]
-        lvl = lvl.reshape(B, V, lvl.shape[1], lvl.shape[2], lvl.shape[-1])
+        if isinstance(feats, dict):
+            levels = [feats["res_layer2"], feats["res_layer3"], feats["res_layer4"]]
+        else:
+            levels = list(feats[1:4])
+        lvl = [f.reshape(B, V, f.shape[1], f.shape[2], f.shape[-1]) for f in levels]
 
         if master_joints_3d is not None:
             ref_center = master_joints_3d[:, 9]
