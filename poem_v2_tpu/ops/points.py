@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -126,3 +127,82 @@ def farthest_point_sampling(
     _, idx = jax.lax.fori_loop(1, k, body, init)
     xyz = index_points(points, idx)
     return xyz, idx
+
+
+class VoxelBucketTable:
+    """Host-built voxel candidate table for KNN against a STATIC cloud.
+
+    The POEM decoder queries neighbours in a fixed BPS cloud (same
+    normalised ball for every sample — ptEmb_head.py:790-809), so most
+    of the KNN ranking can be pre-resolved once on host: a uniform voxel
+    grid over (a margin around) the cloud where each cell stores the
+    ``width`` cloud points nearest to its centre. At runtime a query
+    ranks only its cell's candidate list — static shapes, one small
+    gather + top_k over width << N.
+
+    Coverage: a query q in a cell with centre c has its true k-NN inside
+    the candidate set whenever r_k(q) + ||q - c|| <= R_width(c); with
+    width ~6-8x k on the BPS ball this holds for every query within
+    ``margin`` of the cloud (verified in tests on the real geometry);
+    farther queries degrade gracefully to near-neighbours — the same
+    contract as ``approx_max_k`` (recall ~0.95) that the vector
+    attention already tolerates.
+    """
+
+    def __init__(self, cloud: np.ndarray, cell_size: float = 0.25,
+                 width: int = 768, margin: float = 0.6):
+        cloud = np.asarray(cloud, dtype=np.float32)
+        self.cloud = cloud
+        self.cell_size = float(cell_size)
+        self.origin = cloud.min(axis=0) - margin
+        extent = cloud.max(axis=0) + margin - self.origin
+        self.dims = np.maximum(np.ceil(extent / cell_size).astype(np.int64), 1)  # (3,)
+        self.width = int(min(width, cloud.shape[0]))
+
+        gx, gy, gz = [
+            self.origin[i] + (np.arange(self.dims[i]) + 0.5) * cell_size for i in range(3)
+        ]
+        centers = np.stack(np.meshgrid(gx, gy, gz, indexing="ij"), axis=-1).reshape(-1, 3)
+        d2 = ((centers[:, None] - cloud[None]) ** 2).sum(-1)  # (n_cells, N)
+        # candidate order within a cell is irrelevant (ranked at runtime)
+        self.table = np.argpartition(d2, self.width - 1, axis=1)[:, : self.width].astype(np.int32)
+
+
+def knn_points_bucketed(
+    query: jnp.ndarray,  # (B, Q, 3)
+    table: VoxelBucketTable,
+    k: int,
+    approx: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """KNN against the static cloud behind ``table``.
+
+    Same contract as :func:`knn_points` but only ranks the query cell's
+    candidate list instead of all N points. ``approx=True`` ranks the
+    candidates with ``approx_max_k`` (the exact ``top_k`` dominates the
+    runtime otherwise).
+
+    MEASURED (v5e, B=8, 799 queries, N=4096, k=32): 10.5-17.7 ms vs
+    3.0 ms for brute-force ``knn_points(approx=True)`` — the per-query
+    candidate GATHER dominates on TPU, where the all-pairs distance
+    matmul is effectively free on the MXU. Keep the brute-force path for
+    BPS-sized clouds; this op only pays once N is large enough that
+    width << N amortises the gather (≥ ~100k points).
+    """
+    cloud = jnp.asarray(table.cloud)  # (N, 3)
+    dims = table.dims
+    cell = jnp.clip(
+        jnp.floor((query - jnp.asarray(table.origin)) / table.cell_size).astype(jnp.int32),
+        0,
+        jnp.asarray(dims - 1, dtype=jnp.int32),
+    )  # (B, Q, 3)
+    flat = cell[..., 0] * int(dims[1] * dims[2]) + cell[..., 1] * int(dims[2]) + cell[..., 2]
+    cands = jnp.asarray(table.table)[flat]  # (B, Q, W)
+    cxyz = cloud[cands]  # (B, Q, W, 3)
+    d2 = jnp.sum((query[:, :, None] - cxyz) ** 2, axis=-1)
+    if approx:
+        neg_d, pos = jax.lax.approx_max_k(-d2, k)
+    else:
+        neg_d, pos = jax.lax.top_k(-d2, k)  # pos indexes into the candidate list
+    idx = jnp.take_along_axis(cands, pos, axis=-1)
+    nn_xyz = index_points(jnp.broadcast_to(cloud[None], (query.shape[0],) + cloud.shape), idx)
+    return -neg_d, idx, nn_xyz

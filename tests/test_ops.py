@@ -130,3 +130,29 @@ class TestGridSample:
         gf, gp = jax.grad(f, argnums=(0, 1))(feat, pts)
         assert np.isfinite(np.asarray(gf)).all() and np.isfinite(np.asarray(gp)).all()
         assert np.abs(np.asarray(gp)).max() > 0
+
+
+def test_bucketed_knn_exact_on_bps_cloud():
+    """Voxel-bucketed KNN must be EXACT (cell >= knn radius) on the real
+    BPS cloud geometry, including queries drifting outside the ball."""
+    from poem_v2_tpu.models.heads.ptemb_head import generate_bps_basis
+    from poem_v2_tpu.ops.points import VoxelBucketTable, knn_points, knn_points_bucketed
+
+    cloud = generate_bps_basis(4096, 0.1) / 0.1  # normalised ball, radius 1
+    table = VoxelBucketTable(cloud, cell_size=0.25)
+    rs = np.random.RandomState(0)
+    # queries inside + slightly outside the ball
+    q = rs.randn(2, 799, 3).astype(np.float32) * 0.5
+    q[0, :10] *= 3.0
+    qj = jnp.asarray(q)
+    pts = jnp.broadcast_to(jnp.asarray(cloud)[None], (2, 4096, 3))
+
+    d_ref, i_ref, _ = knn_points(qj, pts, 32, approx=False)
+    d_bkt, i_bkt, nn_bkt = knn_points_bucketed(qj, table, 32)
+    # distances must match exactly (indices may permute under ties)
+    np.testing.assert_allclose(np.asarray(d_bkt), np.asarray(d_ref), rtol=1e-5, atol=1e-6)
+    # gathered coordinates consistent with indices
+    np.testing.assert_allclose(
+        np.asarray(nn_bkt), np.asarray(cloud)[np.asarray(i_bkt)], atol=1e-6
+    )
+    assert table.width < 1200  # candidate table stays ~3.5x smaller than N
