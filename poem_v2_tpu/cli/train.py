@@ -90,8 +90,13 @@ def main(argv=None):
         profiling = bool(args.profile) and epoch == 0
         if profiling:
             jax.profiler.start_trace(args.profile)
-        for step_idx, batch in enumerate(batches()):
-            state, metrics = trainer.step(state, batch)
+        # double-buffer device feeds: batch n+1 transfers while n computes
+        from ..training.prefetch import prefetch_to_device
+
+        for step_idx, dev_batch in enumerate(
+            prefetch_to_device(batches(), trainer.mesh, size=2)
+        ):
+            state, metrics = trainer.step_sharded(state, dev_batch)
             timer.tick()
             if profiling and step_idx >= 20:
                 jax.profiler.stop_trace()

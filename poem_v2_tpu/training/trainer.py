@@ -140,6 +140,11 @@ class Trainer:
         batch = shard_batch(self._to_device_batch(batch), self.mesh)
         return self._train_step(state, batch)
 
+    def step_sharded(self, state: TrainState, dev_batch: Dict[str, Any]):
+        """Step on a batch already sharded onto the mesh (see
+        training/prefetch.py for the double-buffered feed)."""
+        return self._train_step(state, dev_batch)
+
     @staticmethod
     def _to_device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
         keep = (

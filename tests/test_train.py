@@ -93,3 +93,20 @@ class TestCheckpoint:
             jax.tree_util.tree_leaves(state.params),
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_prefetch_to_device_preserves_order_and_shards():
+    from poem_v2_tpu.parallel.mesh import create_mesh
+    from poem_v2_tpu.training.prefetch import prefetch_to_device
+
+    mesh = create_mesh()
+    batches = [
+        {"image": np.full((8, 2, 4, 4, 3), i, np.float32),
+         "view_mask": np.ones((8, 2), bool)}
+        for i in range(5)
+    ]
+    out = list(prefetch_to_device(iter(batches), mesh, size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert float(b["image"][0, 0, 0, 0, 0]) == i  # order preserved
+        assert b["image"].sharding is not None
