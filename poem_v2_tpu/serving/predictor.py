@@ -1,0 +1,123 @@
+"""Serving-grade predictor for the POEM flagship.
+
+The reference exposes inference only through the eval harness
+(scripts/eval.py); production serving wants a persistent jitted
+function with fixed shapes. ``Predictor`` wraps a built model +
+weights into exactly that:
+
+- one compile per (batch, views) bucket, cached for the process;
+- inputs padded to the bucket (static shapes keep XLA happy on TPU);
+- bf16 activations by default, flash cross-attention at eval;
+- returns host numpy (joints, verts, per-view 2D projections).
+
+Typical use::
+
+    pred = Predictor.from_config(cfg, ckpt_path, view_bucket=8)
+    out = pred(images, cam_intr, cam_extr)   # ragged views OK
+    out["joints_3d"]  # (B, 21, 3) master space
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Predictor:
+    def __init__(self, model, params, view_bucket: int = 8, image_size: int = 256):
+        self.model = model
+        self.params = params
+        self.view_bucket = view_bucket
+        self.image_size = image_size
+        self._compiled: Dict[Tuple[int, int], object] = {}
+
+    # ---- construction -------------------------------------------------------
+    @classmethod
+    def from_config(cls, cfg, ckpt_path: Optional[str] = None,
+                    view_bucket: int = 8, dtype=jnp.bfloat16, seed: int = 0):
+        from ..models.poem import create_poem_model
+        from ..utils.recorder import Recorder
+
+        model, _aux = create_poem_model(cfg.MODEL if "MODEL" in cfg else cfg,
+                                        dtype=dtype, remat=False)
+        size = (cfg.DATA_PRESET.IMAGE_SIZE[0] if "DATA_PRESET" in cfg else 256)
+        rng = jax.random.PRNGKey(seed)
+        dummy = cls._dummy_batch(1, view_bucket, size)
+        variables = model.init({"params": rng, "noise": rng, "dropout": rng},
+                               *dummy, train=False)
+        params = variables["params"]
+        if ckpt_path:
+            params = Recorder.load_params(ckpt_path, params)
+        return cls(model, params, view_bucket=view_bucket, image_size=size)
+
+    @staticmethod
+    def _dummy_batch(b, v, size):
+        return (
+            jnp.zeros((b, v, size, size, 3), jnp.float32),
+            jnp.ones((b, v), bool),
+            jnp.tile(jnp.eye(3)[None, None] * 100, (b, v, 1, 1)).astype(jnp.float32),
+            jnp.tile(jnp.eye(4)[None, None], (b, v, 1, 1)).astype(jnp.float32),
+            jnp.zeros((b, 21, 3), jnp.float32),
+        )
+
+    # ---- compiled forward ----------------------------------------------------
+    def _fn(self, b: int, v: int):
+        key = (b, v)
+        if key not in self._compiled:
+            def fwd(params, image, view_mask, cam_intr, cam_extr):
+                ref = jnp.zeros((image.shape[0], 21, 3), jnp.float32)
+                return self.model.apply(
+                    {"params": params}, image, view_mask, cam_intr, cam_extr,
+                    ref, train=False,
+                )
+            self._compiled[key] = jax.jit(fwd)
+        return self._compiled[key]
+
+    def warmup(self, batch_size: int = 1) -> None:
+        """Trigger compilation for a bucket ahead of traffic."""
+        d = self._dummy_batch(batch_size, self.view_bucket, self.image_size)
+        out = self._fn(batch_size, self.view_bucket)(self.params, *d[:4])
+        jax.block_until_ready(out["pred_joints_3d"])
+
+    def __call__(
+        self,
+        images: np.ndarray,  # (B, V, H, W, 3) float in [-0.5, 0.5] or uint8
+        cam_intr: np.ndarray,  # (B, V, 3, 3)
+        cam_extr: np.ndarray,  # (B, V, 4, 4) camera->master
+        view_mask: Optional[np.ndarray] = None,  # (B, V)
+    ) -> Dict[str, np.ndarray]:
+        images = np.asarray(images)
+        if images.dtype == np.uint8:
+            images = images.astype(np.float32) / 255.0 - 0.5
+        B, V = images.shape[:2]
+        if view_mask is None:
+            view_mask = np.ones((B, V), bool)
+        # pad the view axis to the bucket (masked views: identity cameras)
+        pad = self.view_bucket - V
+        if pad < 0:
+            raise ValueError(f"got {V} views > bucket {self.view_bucket}")
+        if pad:
+            images = np.concatenate([images, np.zeros_like(images[:, :pad])], axis=1)
+            view_mask = np.concatenate([view_mask, np.zeros((B, pad), bool)], axis=1)
+            eye3 = np.broadcast_to(np.eye(3, dtype=np.float32) * 100, (B, pad, 3, 3))
+            eye4 = np.broadcast_to(np.eye(4, dtype=np.float32), (B, pad, 4, 4))
+            cam_intr = np.concatenate([np.asarray(cam_intr, np.float32), eye3], axis=1)
+            cam_extr = np.concatenate([np.asarray(cam_extr, np.float32), eye4], axis=1)
+
+        preds = self._fn(B, self.view_bucket)(
+            self.params,
+            jnp.asarray(images, jnp.float32),
+            jnp.asarray(view_mask),
+            jnp.asarray(cam_intr, jnp.float32),
+            jnp.asarray(cam_extr, jnp.float32),
+        )
+        return {
+            "joints_3d": np.asarray(preds["pred_joints_3d"], np.float32),
+            "verts_3d": np.asarray(preds["pred_verts_3d"], np.float32),
+            "joints_3d_rel": np.asarray(preds["pred_joints_3d_rel"], np.float32),
+            "verts_3d_rel": np.asarray(preds["pred_verts_3d_rel"], np.float32),
+            "joints_uv": np.asarray(preds["pred_joints_uv"], np.float32)[:, :V],
+        }
