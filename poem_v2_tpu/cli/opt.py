@@ -27,6 +27,9 @@ def parse_exp_args(argv=None):
     p.add_argument("--mesh_data", type=int, default=None, help="data-parallel mesh size")
     p.add_argument("--mesh_model", type=int, default=1, help="model-parallel mesh size")
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--flash_train", action="store_true",
+                   help="flash attention in the training fwd+bwd (skips "
+                        "attention-prob dropout; ~23%% faster decoder bwd)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (multi-host SPMD)")
     p.add_argument("--profile", type=str, default="",

@@ -35,7 +35,9 @@ def main(argv=None):
     logger = get_logger()
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    model, aux = create_poem_model(cfg.MODEL, dtype=dtype)
+    model, aux = create_poem_model(
+        cfg.MODEL, dtype=dtype, use_flash_train=bool(getattr(args, 'flash_train', False))
+    )
     mesh = create_mesh(data=args.mesh_data, model=args.mesh_model)
     logger.info(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
 

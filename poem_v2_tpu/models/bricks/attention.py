@@ -73,12 +73,19 @@ class MultiHeadCrossAttention(nn.Module):
     kernel when it applies (eval / no kv-mask / TPU backend); training
     keeps the einsum path so attention-probability dropout matches the
     reference BertSelfAttention semantics.
+
+    ``use_flash_train`` additionally routes TRAINING through the flash
+    kernel (it carries a custom VJP, so the backward is flash too).
+    Documented deviation: attention-probability dropout (reference
+    bert_cfg attention_probs_dropout_prob=0.1) is skipped on that path —
+    output-projection dropout is kept. Off by default.
     """
 
     hidden_size: int = 256
     num_heads: int = 4
     dropout: float = 0.1
     use_flash: bool = False
+    use_flash_train: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -106,7 +113,11 @@ class MultiHeadCrossAttention(nn.Module):
         k = k.reshape(B, N, nh, hd)
         v = v.reshape(B, N, nh, hd)
 
-        use_flash = self.use_flash and deterministic and kv_mask is None
+        use_flash = (
+            self.use_flash
+            and (deterministic or self.use_flash_train)
+            and kv_mask is None
+        )
         if use_flash:
             ctx = _flash_cross_attention(q, k, v, sm_scale=1.0 / float(hd) ** 0.5)
             ctx = ctx.reshape(B, Q, h).astype(self.dtype)

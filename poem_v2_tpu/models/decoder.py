@@ -97,6 +97,7 @@ class PointMetroBlock(nn.Module):
     parametric_output: bool = False
     deterministic: bool = True
     use_flash: bool = False
+    use_flash_train: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -117,10 +118,12 @@ class PointMetroBlock(nn.Module):
 
         attn_out = MultiHeadCrossAttention(
             self.hidden_size, self.num_heads, self.dropout, use_flash=self.use_flash,
+            use_flash_train=self.use_flash_train,
             dtype=self.dtype, name="attn"
         )(q_emb, k_emb, deterministic=deterministic)
         attn_out = MultiHeadCrossAttention(
             self.hidden_size, self.num_heads, self.dropout, use_flash=self.use_flash,
+            use_flash_train=self.use_flash_train,
             dtype=self.dtype, name="cross_attn"
         )(attn_out, k_emb, deterministic=deterministic)
 
@@ -168,6 +171,7 @@ class PtEmbedDecoder(nn.Module):
     parametric_output: bool = False
     remat: bool = True
     use_flash: bool = False
+    use_flash_train: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @classmethod
@@ -210,6 +214,7 @@ class PtEmbedDecoder(nn.Module):
                 parametric_output=self.parametric_output,
                 deterministic=deterministic,
                 use_flash=self.use_flash,
+                use_flash_train=self.use_flash_train,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )

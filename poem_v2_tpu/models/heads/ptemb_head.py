@@ -116,6 +116,7 @@ class POEMGeneralizedHead(nn.Module):
     n_neighbor: int = 32
     n_neighbor_query: int = 32
     use_flash: bool = False
+    use_flash_train: bool = False
     remat: bool = True  # gradient-checkpoint decoder blocks in training
     # decoder generation: "PtEmbedTR" (flagship bert+vector-attn stack) or
     # "PtEmbedTRv3" (METRO coarse stage + point-transformer refinement,
@@ -224,6 +225,7 @@ class POEMGeneralizedHead(nn.Module):
             n_neighbor_query=self.n_neighbor_query,
             parametric_output=self.parametric_output,
             use_flash=self.use_flash,
+            use_flash_train=self.use_flash_train,
             remat=self.remat,
             dtype=self.dtype,
             name="transformer",

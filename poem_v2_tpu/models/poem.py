@@ -135,7 +135,8 @@ def _default_use_flash() -> bool:
 
 
 def create_poem_model(
-    cfg: Config, dtype=jnp.float32, use_flash: bool = None, remat: bool = True
+    cfg: Config, dtype=jnp.float32, use_flash: bool = None, remat: bool = True,
+    use_flash_train: bool = False
 ) -> Tuple[POEMNet, Dict[str, Any]]:
     """Build a POEMNet + auxiliary constants from a reference-schema config.
 
@@ -204,6 +205,7 @@ def create_poem_model(
         n_neighbor=tr_cfg.N_NEIGHBOR,
         n_neighbor_query=tr_cfg.N_NEIGHBOR_QUERY,
         use_flash=use_flash,
+        use_flash_train=use_flash_train,
         remat=remat,
         decoder_type=(
             "PtEmbedTRv3"

@@ -22,6 +22,7 @@ def main():
     p.add_argument("--backbone", type=str, default="resnet34")
     p.add_argument("--dtype", type=str, default="bf16")
     p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--flash-train", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -39,7 +40,8 @@ def main():
     cfg.HEAD.TRANSFORMER.N_NEIGHBOR = 32
     cfg.HEAD.TRANSFORMER.N_NEIGHBOR_QUERY = 32
     cfg.HEAD.POSITIONAL_ENCODING.NUM_FEATS = 128
-    model, aux = create_poem_model(cfg, dtype=dtype, remat=not args.no_remat)
+    model, aux = create_poem_model(cfg, dtype=dtype, remat=not args.no_remat,
+                                   use_flash_train=args.flash_train)
 
     mesh = create_mesh()
     trainer = Trainer(model, aux, train_cfg=cfg.TRAIN, loss_cfg=cfg.LOSS, mesh=mesh,

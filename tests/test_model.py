@@ -314,3 +314,26 @@ class TestOperationOrderKit:
         vs = seq.init(jax.random.PRNGKey(1), q, m, qp, mp)
         out = seq.apply(vs, q, m, qp, mp)
         assert out.shape == (3,) + q.shape
+
+
+def test_use_flash_train_flag_plumbs(monkeypatch):
+    """use_flash_train must reach the attention bricks; on CPU the flash
+    path cannot lower, so verify the flag routing statically."""
+    from poem_v2_tpu.models.bricks.attention import MultiHeadCrossAttention
+    from poem_v2_tpu.models.decoder import PointMetroBlock, PtEmbedDecoder
+
+    dec = PtEmbedDecoder(n_blocks=2, use_flash=True, use_flash_train=True)
+    assert dec.use_flash_train
+    blk = PointMetroBlock(use_flash=True, use_flash_train=True)
+    assert blk.use_flash_train
+    attn = MultiHeadCrossAttention(use_flash=True, use_flash_train=True)
+    assert attn.use_flash_train
+    # einsum fallback still exercised on CPU (deterministic=False, no flash)
+    import jax, numpy as np
+    a = MultiHeadCrossAttention(hidden_size=32, num_heads=4, use_flash=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 32))
+    kv = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 32))
+    vs = a.init({"params": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+                x, kv, deterministic=False)
+    out = a.apply(vs, x, kv, deterministic=False, rngs={"dropout": jax.random.PRNGKey(4)})
+    assert np.isfinite(np.asarray(out)).all()
