@@ -51,3 +51,34 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:
     return global_batch // mesh.shape["data"]
+
+
+# ---- tensor-parallel parameter sharding -----------------------------------
+#
+# The reference has no TP (largest tier fits one GPU — SURVEY §2.3); on TPU
+# a `model` mesh axis is nearly free to support, so wide tiers (large/huge,
+# 512/1024-dim decoders) can shard their big dense kernels across it.
+# Rule-based: any kernel whose last dim is a multiple of the axis size and
+# at least `min_dim` is sharded on that last (output-feature) dim; XLA then
+# inserts the matching all-gathers/reduce-scatters over ICI. Biases and
+# small/odd params stay replicated.
+
+def infer_param_shardings(params, mesh: Mesh, min_dim: int = 256):
+    """PyTree of NamedShardings: TP-shard wide kernels on the model axis."""
+    n_model = mesh.shape["model"]
+    rep = replicated(mesh)
+    if n_model <= 1:
+        return jax.tree_util.tree_map(lambda _: rep, params)
+
+    def rule(path, x):
+        if x.ndim >= 2 and x.shape[-1] >= min_dim and x.shape[-1] % n_model == 0:
+            return NamedSharding(mesh, P(*([None] * (x.ndim - 1)), "model"))
+        return rep
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_params(params, mesh: Mesh, min_dim: int = 256):
+    """Place params per :func:`infer_param_shardings`."""
+    shardings = infer_param_shardings(params, mesh, min_dim)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)

@@ -114,12 +114,10 @@ class Trainer:
 
         self.loss_fn = loss_fn
         step = make_train_step(model, loss_fn)
-        self._train_step = jax.jit(
-            step,
-            in_shardings=(replicated(self.mesh), batch_sharding(self.mesh)),
-            out_shardings=(replicated(self.mesh), replicated(self.mesh)),
-            donate_argnums=(0,),
-        )
+        # shardings are carried by the inputs: the batch via shard_batch,
+        # the state via init_state (replicated params on a pure-DP mesh;
+        # wide kernels TP-sharded on the model axis when it has size > 1)
+        self._train_step = jax.jit(step, donate_argnums=(0,))
 
     def init_state(self, sample_batch: Dict[str, Any]) -> TrainState:
         rng = jax.random.PRNGKey(self.seed)
@@ -134,7 +132,10 @@ class Trainer:
             train=False,
         )
         state = TrainState.create(variables["params"], self.tx, s_rng)
-        return jax.device_put(state, replicated(self.mesh))
+        from ..parallel.mesh import infer_param_shardings
+
+        shardings = infer_param_shardings(state, self.mesh)
+        return jax.tree_util.tree_map(jax.device_put, state, shardings)
 
     def step(self, state: TrainState, batch: Dict[str, Any]):
         batch = shard_batch(self._to_device_batch(batch), self.mesh)

@@ -110,3 +110,29 @@ def test_prefetch_to_device_preserves_order_and_shards():
     for i, b in enumerate(out):
         assert float(b["image"][0, 0, 0, 0, 0]) == i  # order preserved
         assert b["image"].sharding is not None
+
+
+def test_tensor_parallel_mesh_train_step():
+    """data=4 x model=2 mesh: wide decoder kernels shard on the model
+    axis; one full train step runs and produces a finite loss."""
+    import jax
+    from helpers import TINY_MODEL_CFG, tiny_batch
+    from poem_v2_tpu.models.poem import create_poem_model
+    from poem_v2_tpu.parallel.mesh import create_mesh, infer_param_shardings
+    from poem_v2_tpu.training.trainer import Trainer
+
+    mesh = create_mesh(data=4, model=2, devices=jax.devices("cpu")[:8])
+    model, aux = create_poem_model(TINY_MODEL_CFG)
+    trainer = Trainer(model, aux, train_cfg=TINY_MODEL_CFG.get("TRAIN", _train_cfg()),
+                      loss_cfg=TINY_MODEL_CFG.LOSS, mesh=mesh, steps_per_epoch=10)
+    batch = tiny_batch(batch_size=4, view_max=2, image_size=64, random_views=False)
+    state = trainer.init_state(batch)
+
+    # at least one wide kernel must actually be model-sharded
+    shardings = infer_param_shardings(state.params, mesh)
+    specs = [s.spec for s in jax.tree_util.tree_leaves(
+        shardings, is_leaf=lambda x: hasattr(x, "spec"))]
+    assert any("model" in str(sp) for sp in specs)
+
+    state2, metrics = trainer.step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
