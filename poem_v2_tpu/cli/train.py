@@ -9,6 +9,7 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -71,6 +72,19 @@ def main(argv=None):
 
     first = next(iter(batch_iterator(dataset, batch_size, args.view_max, batch_size)))
     state = trainer.init_state({k: jnp.asarray(v) for k, v in first.items()})
+    pretrained_bb = cfg.MODEL.get("PRETRAINED_BACKBONE", None)
+    if pretrained_bb:
+        # backbone-only warm start (ImageNet HRNet converted by
+        # scripts/prepare_hrnet.py)
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.abspath(pretrained_bb), {"backbone": state.params["backbone"]}
+        )
+        state = state.replace(
+            params={**state.params, "backbone": restored["backbone"]}
+        )
+        logger.info(f"warm-started backbone from {pretrained_bb}")
     pretrained = cfg.MODEL.get("PRETRAINED", None)
     if pretrained:
         # warm-start weights only (the huge tier warm-starts from the

@@ -283,3 +283,78 @@ def test_hrnet_backbone_conversion():
         {"params": params}, jnp.zeros((1, 64, 64, 3))
     )
     assert len(out) == 4 and all(np.isfinite(np.asarray(o)).all() for o in out)
+
+
+def test_prepare_hrnet_roundtrip(tmp_path):
+    """Fabricated ImageNet-style HRNet .pth -> prepare script -> orbax
+    backbone checkpoint -> warm-start merge."""
+    import sys
+    sys.path.insert(0, "scripts")
+    from poem_v2_tpu.models.backbones.hrnet import HRNet
+    from prepare_hrnet import main as prepare_main
+
+    # fabricate the torch state dict from the flax shapes (tiny spec isn't
+    # supported by the script's fixed (1,4,3)x4 stages, so use width=8 full)
+    model = HRNet(width=8, norm="frozen_bn")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    g = torch.Generator().manual_seed(1)
+    state = {}
+
+    def add_conv(tkey, node):
+        kh, kw, cin, cout = node["kernel"].shape
+        state[f"{tkey}.weight"] = torch.randn(cout, cin, kh, kw, generator=g)
+
+    def add_bn(tkey, node):
+        c = node["scale"].shape[0]
+        state[f"{tkey}.weight"] = torch.randn(c, generator=g)
+        state[f"{tkey}.bias"] = torch.randn(c, generator=g)
+        state[f"{tkey}.running_mean"] = torch.randn(c, generator=g)
+        state[f"{tkey}.running_var"] = torch.rand(c, generator=g) + 0.5
+
+    add_conv("conv1", params["stem1"]); add_bn("bn1", params["stem1_norm"])
+    add_conv("conv2", params["stem2"]); add_bn("bn2", params["stem2_norm"])
+    for b in range(4):
+        blk = params[f"layer1_block{b}"]
+        for ci in range(3):
+            add_conv(f"layer1.{b}.conv{ci+1}", blk[f"Conv_{ci}"])
+            add_bn(f"layer1.{b}.bn{ci+1}", blk[f"FrozenBatchNorm_{ci}"])
+        if "Conv_3" in blk:
+            add_conv(f"layer1.{b}.downsample.0", blk["Conv_3"])
+            add_bn(f"layer1.{b}.downsample.1", blk["FrozenBatchNorm_3"])
+    for tk, jn in [("transition1.0", "t1_b0"), ("transition1.1.0", "t1_b1"),
+                   ("transition2.2.0", "t2_b2"), ("transition3.3.0", "t3_b3")]:
+        add_conv(tk + ".0", params[jn]); add_bn(tk + ".1", params[jn + "_norm"])
+    for s_idx, n_mod in zip((2, 3, 4), (1, 4, 3)):
+        for m in range(n_mod):
+            mod = params[f"stage{s_idx}_m{m}"]
+            for i in range(s_idx):
+                for b in range(4):
+                    blk = mod[f"branch{i}_block{b}"]
+                    for ci in range(2):
+                        add_conv(f"stage{s_idx}.{m}.branches.{i}.{b}.conv{ci+1}", blk[f"Conv_{ci}"])
+                        add_bn(f"stage{s_idx}.{m}.branches.{i}.{b}.bn{ci+1}", blk[f"FrozenBatchNorm_{ci}"])
+            fuse = mod["fuse"]
+            for i in range(s_idx):
+                for j in range(s_idx):
+                    if j > i:
+                        add_conv(f"stage{s_idx}.{m}.fuse_layers.{i}.{j}.0", fuse[f"up_{j}_to_{i}_conv"])
+                        add_bn(f"stage{s_idx}.{m}.fuse_layers.{i}.{j}.1", fuse[f"up_{j}_to_{i}_norm"])
+                    elif j < i:
+                        for k in range(i - j):
+                            add_conv(f"stage{s_idx}.{m}.fuse_layers.{i}.{j}.{k}.0", fuse[f"down_{j}_to_{i}_conv{k}"])
+                            add_bn(f"stage{s_idx}.{m}.fuse_layers.{i}.{j}.{k}.1", fuse[f"down_{j}_to_{i}_norm{k}"])
+
+    pth = tmp_path / "hrnet_w8.pth"
+    torch.save(state, str(pth))
+    out = tmp_path / "hrnet_w8_flax"
+    prepare_main(["--torch-ckpt", str(pth), "--width", "8", "--out", str(out)])
+
+    import orbax.checkpoint as ocp
+    restored = ocp.StandardCheckpointer().restore(
+        str(out), {"backbone": params})
+    np.testing.assert_allclose(
+        restored["backbone"]["stem1"]["kernel"],
+        state["conv1.weight"].numpy().transpose(2, 3, 1, 0),
+    )
