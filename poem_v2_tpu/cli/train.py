@@ -98,7 +98,7 @@ def main(argv=None):
     loss_metric = LossMetric()
     mpjpe = MeanEPE("joints_3d")
 
-    from ..utils.profiling import StepTimer, trace
+    from ..utils.profiling import StepTimer
 
     timer = StepTimer()
     for epoch in range(cfg.TRAIN.EPOCH):

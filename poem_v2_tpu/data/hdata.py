@@ -13,7 +13,7 @@ time, so those SDKs stay optional.
 from __future__ import annotations
 
 import abc
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -13,13 +13,12 @@ request_flip reflection, master id pinned to view 0.
 
 from __future__ import annotations
 
-import io
 import os
 import pickle
 import random
 import re
 import tarfile
-from typing import Dict, Iterator, List, Optional, Sequence, Union
+from typing import Dict, Iterator, List, Sequence, Union
 
 import numpy as np
 

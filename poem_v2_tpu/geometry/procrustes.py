@@ -8,7 +8,6 @@ host-side Python loop.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax.numpy as jnp
 

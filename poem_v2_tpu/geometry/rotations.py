@@ -9,7 +9,6 @@ All functions accept arbitrary leading batch dims.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

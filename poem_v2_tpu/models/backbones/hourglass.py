@@ -9,7 +9,7 @@ re-implementation: static recursion depth, bilinear up, channels-last.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

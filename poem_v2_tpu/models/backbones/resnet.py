@@ -15,7 +15,7 @@ choices: channels-last layout, norm selectable between
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

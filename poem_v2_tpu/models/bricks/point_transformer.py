@@ -20,7 +20,7 @@ or as one fused Pallas kernel
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

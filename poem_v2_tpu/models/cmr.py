@@ -21,7 +21,7 @@ TPU as:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ space. All per-sample projection/merge loops are masked batched ops.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

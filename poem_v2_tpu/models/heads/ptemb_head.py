@@ -30,7 +30,7 @@ import numpy as np
 
 from ...geometry.camera import project_world_to_pixel
 from ...geometry.rotations import rot6d_to_aa
-from ...ops.sampling import grid_sample_points, grid_sample_points_matmul, pixel_to_grid
+from ...ops.sampling import grid_sample_points_matmul, pixel_to_grid
 from ...utils.registry import HEAD
 from ..bricks.attention import MLP
 from ..decoder import PtEmbedDecoder

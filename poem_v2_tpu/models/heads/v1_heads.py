@@ -31,7 +31,7 @@ from ...ops.sampling import grid_sample_points, pixel_to_grid
 from ...utils.registry import HEAD
 from ..bricks.attention import MLP
 from ..decoder_v2 import PtEmbedTRv2
-from ..frustum import FrustumPositionEncoder, frustum_points
+from ..frustum import FrustumPositionEncoder
 from ..positional import pos2posemb3d, sine_positional_encoding_3d
 from .ptemb_head import MergeFeaturesMV
 

@@ -12,7 +12,7 @@ concatenation exactly (every valid view counts equally).
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax.numpy as jnp
 

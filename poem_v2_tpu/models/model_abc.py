@@ -12,7 +12,7 @@ method names, driving the SPMD trainer/evaluator underneath.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Protocol
+from typing import Any, Dict, Protocol
 
 
 class ModelABC(Protocol):

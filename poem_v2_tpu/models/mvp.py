@@ -14,11 +14,10 @@ from the first-party JAX MANO layer.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
-import numpy as np
 
 from ..geometry.camera import project_world_to_pixel
 from ..geometry.rotations import rot6d_to_aa

@@ -14,7 +14,6 @@ import functools
 from typing import Sequence, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -14,14 +14,14 @@ mask that hides padded views' tokens from the cross-attention.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from ..geometry.camera import inverse_sigmoid
 from ..utils.registry import HEAD, MODEL, TRANSFORMER
-from .bricks.attention import BertFFN, MultiHeadCrossAttention
+from .bricks.attention import BertFFN
 from .frustum import FrustumPositionEncoder
 from .positional import pos2posemb3d, sine_positional_encoding_3d
 

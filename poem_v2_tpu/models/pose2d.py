@@ -11,7 +11,6 @@ backbones feeding the multi-view pipeline.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

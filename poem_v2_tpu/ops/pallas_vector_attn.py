@@ -29,7 +29,6 @@ variant; default OFF.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

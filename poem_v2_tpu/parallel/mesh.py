@@ -12,7 +12,7 @@ unused (size 1) by default.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np

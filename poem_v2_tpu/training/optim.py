@@ -8,7 +8,6 @@ steps, matching scripts/train_ddp.py:112-116), L2 grad clipping.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import optax
 

@@ -9,18 +9,15 @@ groups, no barriers, no explicit all-reduce.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from ..models.losses import poem_loss
-from ..parallel.mesh import batch_sharding, create_mesh, replicated, shard_batch
-from ..utils.logger import logger
+from ..parallel.mesh import create_mesh, shard_batch
 
 
 class TrainState(struct.PyTreeNode):

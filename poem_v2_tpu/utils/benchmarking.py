@@ -15,7 +15,6 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def chained_time(

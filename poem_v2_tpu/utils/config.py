@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import copy
 import io
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 import yaml
 

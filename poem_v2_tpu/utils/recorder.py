@@ -12,10 +12,9 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
-import numpy as np
 
 from .logger import get_logger, master_only
 

@@ -8,7 +8,6 @@ into this image); falls back to a no-op if unavailable.
 
 from __future__ import annotations
 
-from typing import Optional
 
 from .logger import master_only
 

@@ -9,7 +9,6 @@ visualization never touches the device.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
 
 import numpy as np
 
@@ -18,7 +17,6 @@ try:
 except Exception:  # pragma: no cover
     cv2 = None
 
-from ..utils.misc import CONST
 
 # OpenPose hand skeleton links
 HAND_LINKS = [
