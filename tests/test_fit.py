@@ -110,3 +110,21 @@ class TestSoftRaster:
         assert np.isfinite(float(silh_after))
         assert float(silh_after) < float(silh_init)
         assert float(res.losses[-1]) < float(res.losses[0])
+
+
+def test_multiview_silhouette_loss_masks_padded_views():
+    from poem_v2_tpu.fit.soft_raster import multiview_silhouette_loss
+    from poem_v2_tpu.mano import ManoLayer
+
+    mano = ManoLayer()
+    faces = jnp.asarray(np.asarray(mano.faces), dtype=jnp.int32)
+    verts = jnp.zeros((1, 778, 3)) + jnp.array([0.0, 0.0, 0.4])
+    intr = jnp.tile(jnp.array([[[60.0, 0, 8], [0, 60.0, 8], [0, 0, 1]]]), (1, 2, 1, 1))
+    extr = jnp.tile(jnp.eye(4)[None, None], (1, 2, 1, 1))
+    masks = jnp.zeros((1, 2, 16, 16))
+    # garbage in the masked view must not change the loss
+    vm = jnp.array([[True, False]])
+    l1 = multiview_silhouette_loss(intr, extr, verts, masks, faces, view_mask=vm, img_size=16)
+    masks2 = masks.at[:, 1].set(1.0)
+    l2 = multiview_silhouette_loss(intr, extr, verts, masks2, faces, view_mask=vm, img_size=16)
+    assert float(jnp.abs(l1 - l2)) < 1e-7

@@ -136,3 +136,13 @@ def test_tensor_parallel_mesh_train_step():
 
     state2, metrics = trainer.step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_prefetch_empty_and_short_iterators():
+    from poem_v2_tpu.parallel.mesh import create_mesh
+    from poem_v2_tpu.training.prefetch import prefetch_to_device
+
+    mesh = create_mesh()
+    assert list(prefetch_to_device(iter([]), mesh)) == []
+    one = [{"image": np.zeros((8, 1, 2, 2, 3), np.float32)}]
+    assert len(list(prefetch_to_device(iter(one), mesh, size=4))) == 1
