@@ -26,10 +26,14 @@ def main():
     tsl = jnp.array([[0.0, 0.0, 0.5]])
     gt_joints = out.joints + tsl[:, None]
 
-    # two identity cameras, f=300
+    # two cameras with a 30-degree baseline (distinct rays constrain depth)
     B, V = 1, 2
     intr = jnp.tile(jnp.array([[[300.0, 0, 128], [0, 300.0, 128], [0, 0, 1]]]), (B, V, 1, 1))
-    extr = jnp.tile(jnp.eye(4)[None, None], (B, V, 1, 1))
+    c, s_ = np.cos(np.pi / 6), np.sin(np.pi / 6)
+    cam2 = np.eye(4)
+    cam2[:3, :3] = [[c, 0, s_], [0, 1, 0], [-s_, 0, c]]
+    cam2[:3, 3] = [-0.25, 0.0, 0.07]
+    extr = jnp.asarray(np.stack([np.eye(4), cam2])[None])
     target_2d = cam_intr_projection(intr, cam_extr_transf(invert_rigid(extr), gt_joints[:, None]))
 
     fitter = OneFrameFit(mano, steps=200, lr=1e-2)
