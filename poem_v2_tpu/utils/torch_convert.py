@@ -270,9 +270,11 @@ def convert_conv_block(state: Dict, torch_prefix: str, params: Dict, path: List[
     return used
 
 
-def convert_necks(state: Dict, params: Dict, hrnet: bool = False) -> List[str]:
-    """Map feat_delayer/feat_in and uv_delayer/uv_out/uv_in
-    (reference POEM.py:59-112) onto the flax neck trees."""
+def convert_necks(state: Dict, params: Dict) -> List[str]:
+    """Map feat_delayer/feat_in and uv_delayer/uv_out/uv_in onto the flax
+    neck trees. The reference uses the same attribute names for both the
+    ResNet and HRNet variants (POEM.py:59-112 vs 87-112) — only shapes
+    differ, and the mapping is shape-agnostic."""
     used: List[str] = []
     feat = params["feat_neck"]
     uv = params["uv_neck"]

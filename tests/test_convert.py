@@ -358,3 +358,44 @@ def test_prepare_hrnet_roundtrip(tmp_path):
         restored["backbone"]["stem1"]["kernel"],
         state["conv1.weight"].numpy().transpose(2, 3, 1, 0),
     )
+
+
+def test_neck_conversion_hrnet_variant():
+    """The same name mapping must fill the HRNet-shaped necks."""
+    from poem_v2_tpu.models.neck import HRNetFeatNeck, UVDecodeNeck
+    from poem_v2_tpu.utils.torch_convert import convert_necks
+
+    feat_size = (8, 16, 32, 64)
+    feats = [jnp.zeros((1, 64 // 2**i, 64 // 2**i, c)) for i, c in enumerate(feat_size)]
+    fn = HRNetFeatNeck(feat_size=feat_size, norm="frozen_bn")
+    uv = UVDecodeNeck(feat_size=feat_size, hrnet=True, norm="frozen_bn")
+    fparams = jax.tree_util.tree_map(np.asarray, fn.init(jax.random.PRNGKey(0), feats)["params"])
+    uparams = jax.tree_util.tree_map(np.asarray, uv.init(jax.random.PRNGKey(0), feats)["params"])
+
+    g = torch.Generator().manual_seed(0)
+    state = {}
+
+    def add_block(tkey, node):
+        kh, kw, cin, cout = node["Conv_0"]["kernel"].shape
+        state[f"{tkey}.conv.weight"] = torch.randn(cout, cin, kh, kw, generator=g)
+        state[f"{tkey}.conv.bias"] = torch.randn(cout, generator=g)
+        if "FrozenBatchNorm_0" in node:
+            c = node["FrozenBatchNorm_0"]["scale"].shape[0]
+            state[f"{tkey}.norm.weight"] = torch.randn(c, generator=g)
+            state[f"{tkey}.norm.bias"] = torch.randn(c, generator=g)
+            state[f"{tkey}.norm.running_mean"] = torch.randn(c, generator=g)
+            state[f"{tkey}.norm.running_var"] = torch.rand(c, generator=g) + 0.5
+
+    for i in range(3):
+        add_block(f"feat_delayer.{i}", fparams[f"ConvBlock_{i}"])
+        add_block(f"uv_delayer.{i}", uparams[f"ConvBlock_{i}"])
+    add_block("feat_in", fparams["feat_in"])
+    add_block("uv_out", uparams["uv_out"])
+    add_block("uv_in", uparams["uv_in"])
+
+    used = convert_necks(state, {"feat_neck": fparams, "uv_neck": uparams})
+    assert set(used) == set(state)
+    np.testing.assert_allclose(
+        fparams["ConvBlock_0"]["Conv_0"]["kernel"],
+        state["feat_delayer.0.conv.weight"].numpy().transpose(2, 3, 1, 0),
+    )
