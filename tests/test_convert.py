@@ -399,3 +399,74 @@ def test_neck_conversion_hrnet_variant():
         fparams["ConvBlock_0"]["Conv_0"]["kernel"],
         state["feat_delayer.0.conv.weight"].numpy().transpose(2, 3, 1, 0),
     )
+
+
+def test_full_checkpoint_conversion_end_to_end():
+    """convert_poem_checkpoint on a COMPLETE fabricated state dict
+    (resnet18 backbone + both necks + head + 2 decoder blocks): every
+    key consumed, converted model runs finite."""
+    from helpers import TINY_MODEL_CFG, tiny_batch
+    from poem_v2_tpu.models.poem import create_poem_model
+    from poem_v2_tpu.utils.config import Config
+    from poem_v2_tpu.utils.torch_convert import convert_poem_checkpoint
+
+    cfg = Config(TINY_MODEL_CFG.to_dict())
+    cfg.BACKBONE.NORM = "frozen_bn"
+    model, aux = create_poem_model(cfg)
+    batch = tiny_batch(batch_size=1, view_max=2, image_size=64, random_views=False)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "noise": rng, "dropout": rng},
+                           batch["image"], batch["view_mask"], batch["cam_intr"],
+                           batch["cam_extr"], batch["master_joints_3d"], train=False)
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    g = torch.Generator().manual_seed(3)
+    state = {}
+    state.update(fabricate_torchvision_resnet18())
+
+    def cb(prefix, node):
+        kh, kw, cin, cout = node["Conv_0"]["kernel"].shape
+        state[f"{prefix}.conv.weight"] = torch.randn(cout, cin, kh, kw, generator=g)
+        state[f"{prefix}.conv.bias"] = torch.randn(cout, generator=g)
+        if "FrozenBatchNorm_0" in node:
+            for t in ("weight", "bias", "running_mean"):
+                state[f"{prefix}.norm.{t}"] = torch.randn(cout, generator=g)
+            state[f"{prefix}.norm.running_var"] = torch.rand(cout, generator=g) + 0.5
+
+    for i in range(3):
+        cb(f"feat_delayer.{i}", params["feat_neck"][f"ConvBlock_{i}"])
+        cb(f"uv_delayer.{i}", params["uv_neck"][f"ConvBlock_{i}"])
+    cb("feat_in", params["feat_neck"]["feat_in"])
+    cb("uv_out", params["uv_neck"]["uv_out"])
+    cb("uv_in", params["uv_neck"]["uv_in"])
+
+    head = params["head"]
+    for tkey, jnode in [("input_proj", head["input_proj"]),
+                        ("adapt_pos3d", head["adapt_pos3d"])]:
+        kh, kw, cin, cout = jnode["kernel"].shape
+        state[f"ptEmb_head.{tkey}.weight"] = torch.randn(cout, cin, kh, kw, generator=g)
+        state[f"ptEmb_head.{tkey}.bias"] = torch.randn(cout, generator=g)
+    for i, net in enumerate(["merge_net_0", "merge_net_1"]):
+        for j, dense in enumerate(["Dense_0", "Dense_1"]):
+            ci, co = head["merge_feature"][net][dense]["kernel"].shape
+            state[f"ptEmb_head.merge_net_feature.{i}.{2*j}.weight"] = torch.randn(co, ci, generator=g)
+            state[f"ptEmb_head.merge_net_feature.{i}.{2*j}.bias"] = torch.randn(co, generator=g)
+    nq, dq = head["query_feat_embedding"].shape
+    state["ptEmb_head.query_feat_embedding.weight"] = torch.randn(nq, dq, generator=g)
+    n_blocks = len([b for b in head["transformer"] if b.startswith("block_")])
+    for i in range(n_blocks):
+        state.update(fabricate_torch_block(
+            f"ptEmb_head.transformer.pt_metro_encoder.{i}.", dq))
+
+    new_params, leftover = convert_poem_checkpoint(state, params, arch="resnet18")
+    assert leftover == [], f"unconsumed keys: {leftover[:8]}"
+
+    preds = model.apply({"params": new_params},
+                        batch["image"], batch["view_mask"], batch["cam_intr"],
+                        batch["cam_extr"], batch["master_joints_3d"], train=False)
+    assert np.isfinite(np.asarray(preds["pred_verts_3d"])).all()
+    # spot-check a converted leaf actually landed
+    np.testing.assert_allclose(
+        new_params["head"]["query_feat_embedding"],
+        state["ptEmb_head.query_feat_embedding.weight"].numpy(),
+    )
