@@ -470,3 +470,67 @@ def test_full_checkpoint_conversion_end_to_end():
         new_params["head"]["query_feat_embedding"],
         state["ptEmb_head.query_feat_embedding.weight"].numpy(),
     )
+
+
+def test_convert_checkpoint_cli(tmp_path):
+    """scripts/convert_checkpoint.py on a fabricated tiny ckpt; output
+    loads back through Recorder.load_params (the --reload path)."""
+    import sys
+    import yaml
+    sys.path.insert(0, "scripts")
+    from convert_checkpoint import main as convert_main
+
+    from helpers import TINY_MODEL_CFG
+    from poem_v2_tpu.models.poem import create_poem_model
+    from poem_v2_tpu.utils.config import Config
+    from poem_v2_tpu.utils.recorder import Recorder
+
+    cfg_d = {"MODEL": TINY_MODEL_CFG.to_dict(),
+             "DATA_PRESET": {"CENTER_IDX": 0, "NUM_JOINTS": 21,
+                             "NUM_VERTS": 778, "IMAGE_SIZE": [64, 64]}}
+    cfg_d["MODEL"]["BACKBONE"]["NORM"] = "frozen_bn"
+    cfg_path = tmp_path / "cfg.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg_d, f)
+
+    # fabricate a matching torch state dict from the flax shapes
+    cfg = Config(cfg_d)
+    model, _ = create_poem_model(cfg.MODEL)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "noise": rng, "dropout": rng},
+        jnp.zeros((1, 2, 64, 64, 3)), jnp.ones((1, 2), bool),
+        jnp.tile(jnp.eye(3)[None, None] * 100, (1, 2, 1, 1)),
+        jnp.tile(jnp.eye(4)[None, None], (1, 2, 1, 1)),
+        jnp.zeros((1, 21, 3)), train=False)
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    state = dict(fabricate_torchvision_resnet18())
+    g = torch.Generator().manual_seed(5)
+
+    def cb(prefix, node):
+        kh, kw, cin, cout = node["Conv_0"]["kernel"].shape
+        state[f"{prefix}.conv.weight"] = torch.randn(cout, cin, kh, kw, generator=g)
+        state[f"{prefix}.conv.bias"] = torch.randn(cout, generator=g)
+        if "FrozenBatchNorm_0" in node:
+            for t in ("weight", "bias", "running_mean"):
+                state[f"{prefix}.norm.{t}"] = torch.randn(cout, generator=g)
+            state[f"{prefix}.norm.running_var"] = torch.rand(cout, generator=g) + 0.5
+
+    for i in range(3):
+        cb(f"feat_delayer.{i}", params["feat_neck"][f"ConvBlock_{i}"])
+        cb(f"uv_delayer.{i}", params["uv_neck"][f"ConvBlock_{i}"])
+    cb("feat_in", params["feat_neck"]["feat_in"])
+    cb("uv_out", params["uv_neck"]["uv_out"])
+    cb("uv_in", params["uv_neck"]["uv_in"])
+    pth = tmp_path / "tiny.pth.tar"
+    torch.save({"state_dict": state}, str(pth))
+
+    out = tmp_path / "tiny_flax"
+    convert_main(["-c", str(cfg_path), "--torch-ckpt", str(pth), "--out", str(out)])
+
+    restored = Recorder.load_params(str(out), params)
+    np.testing.assert_allclose(
+        np.asarray(restored["backbone"]["stem_conv"]["kernel"]),
+        state["img_backbone.conv1.weight"].numpy().transpose(2, 3, 1, 0),
+    )
