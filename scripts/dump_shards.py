@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--out", required=True)
@@ -27,7 +27,7 @@ def main():
     p.add_argument("--views", type=int, default=4)
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--per-shard", type=int, default=32)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     try:
         import jax

@@ -33,7 +33,7 @@ def _pin_cpu():
         pass
 
 
-def main():
+def main(argv=None):
     _pin_cpu()
     p = argparse.ArgumentParser()
     p.add_argument("--urls", type=str, default=None)
@@ -41,7 +41,7 @@ def main():
     p.add_argument("--out", type=str, default="tmp/viz")
     p.add_argument("--num", type=int, default=8)
     p.add_argument("--image-size", type=int, default=256)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import cv2
 

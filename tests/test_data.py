@@ -222,3 +222,47 @@ class TestVideoAndDumper:
         assert len(samples) == 2
         assert samples[0]["image_0.jpg"].shape == (32, 32, 3)
         assert "label.pyd" in samples[0]
+
+
+def test_dump_shards_script(tmp_path):
+    """Synthetic shard dumper CLI produces readable tars."""
+    import sys
+    sys.path.insert(0, "scripts")
+    from dump_shards import main as dump_main
+
+    dump_main(["--out", str(tmp_path), "--prefix", "Synth_mv_train",
+               "--num", "3", "--views", "2", "--image-size", "32",
+               "--per-shard", "2"])
+    import os as _os
+    shards = sorted(_os.listdir(tmp_path))
+    assert len(shards) == 2
+
+    from poem_v2_tpu.data import MultiviewWebDataset
+    from poem_v2_tpu.utils.config import Config
+
+    ds = MultiviewWebDataset(
+        Config({"TYPE": "MultiviewWebDataset",
+                "URLS": str(tmp_path / "Synth_mv_train-{000000..000001}.tar"),
+                "DATA_SPLIT": "test", "EPOCH_SIZE": 3, "RANDOM_N_VIEWS": False,
+                "VIEW_MAX": 2,
+                "TRANSFORM": {"TYPE": "SimpleTransform3DMultiView", "AUG": False}}),
+        data_preset=Config({"CENTER_IDX": 0, "NUM_JOINTS": 21, "NUM_VERTS": 778,
+                            "IMAGE_SIZE": [32, 32]}),
+        is_train=False,
+    )
+    assert len(list(iter(ds))) == 3
+
+
+def test_viz_multiview_dataset_script(tmp_path):
+    """Headless dataset inspector writes overlay panels."""
+    import sys
+    sys.path.insert(0, "scripts")
+    import pytest
+    pytest.importorskip("cv2")
+    from viz_multiview_dataset import main as viz_main
+
+    shard = make_shard(str(tmp_path / "Test_mv_test-000000.tar"), n_samples=2, img_size=64)
+    viz_main(["--urls", shard, "--out", str(tmp_path / "viz"), "--num", "2",
+              "--image-size", "64"])
+    import os as _os
+    assert len(_os.listdir(tmp_path / "viz")) >= 1
