@@ -27,7 +27,9 @@ def main(argv=None):
     logger = get_logger()
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    model, aux = create_poem_model(cfg.MODEL, dtype=dtype)
+    model, aux = create_poem_model(
+        cfg.MODEL, dtype=dtype, exact_knn=bool(getattr(args, "exact_knn", False))
+    )
 
     dataset = create_dataset(
         cfg.DATASET.TEST,

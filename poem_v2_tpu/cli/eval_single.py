@@ -140,6 +140,9 @@ def main(argv=None):
     p.add_argument("--eval_extra", default="auc")
     p.add_argument("--view_min", type=int, default=None)
     p.add_argument("--view_max", type=int, default=None)
+    p.add_argument("--approx_knn", action="store_true",
+                   help="opt OUT of exact KNN (parity evals default to exact "
+                        "top_k — reference pytorch3d knn is exact)")
     args = p.parse_args(argv)
 
     meta = DATASET_META[args.dataset]
@@ -155,15 +158,17 @@ def main(argv=None):
     with tempfile.NamedTemporaryFile("w", suffix=".yaml", delete=False) as f:
         cfg.dump(f)
         cfg_path = f.name
-    return eval_main(
-        [
-            "-c", cfg_path,
-            "--exp_id", f"eval_{args.dataset}_{args.model_size}",
-            "--reload", args.reload,
-            "--eval_extra", args.eval_extra,
-            "--view_max", str(meta["max_view"]),
-        ]
-    )
+    eval_argv = [
+        "-c", cfg_path,
+        "--exp_id", f"eval_{args.dataset}_{args.model_size}",
+        "--reload", args.reload,
+        "--eval_extra", args.eval_extra,
+        "--view_max", str(meta["max_view"]),
+    ]
+    if not args.approx_knn:
+        # parity evals run exact KNN (reference pytorch3d knn_points is exact)
+        eval_argv.append("--exact_knn")
+    return eval_main(eval_argv)
 
 
 if __name__ == "__main__":

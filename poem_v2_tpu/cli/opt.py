@@ -30,6 +30,9 @@ def parse_exp_args(argv=None):
     p.add_argument("--flash_train", action="store_true",
                    help="flash attention in the training fwd+bwd (skips "
                         "attention-prob dropout; ~23%% faster decoder bwd)")
+    p.add_argument("--exact_knn", action="store_true",
+                   help="exact lax.top_k KNN in the decoder (checkpoint-parity "
+                        "evals; default approx_max_k, recall ~0.95)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (multi-host SPMD)")
     p.add_argument("--profile", type=str, default="",

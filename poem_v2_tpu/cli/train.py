@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import batch_iterator, create_dataset
-from ..metrics import LossMetric, MeanEPE
+from ..metrics import LossMetric
 from ..models.poem import create_poem_model
 from ..parallel.mesh import create_mesh
 from ..training.trainer import Trainer
@@ -37,7 +37,8 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     model, aux = create_poem_model(
-        cfg.MODEL, dtype=dtype, use_flash_train=bool(getattr(args, 'flash_train', False))
+        cfg.MODEL, dtype=dtype, use_flash_train=bool(getattr(args, 'flash_train', False)),
+        exact_knn=bool(getattr(args, 'exact_knn', False)),
     )
     mesh = create_mesh(data=args.mesh_data, model=args.mesh_model)
     logger.info(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
@@ -96,7 +97,6 @@ def main(argv=None):
         logger.info(f"resumed from {args.resume} at step {int(state.step)}")
 
     loss_metric = LossMetric()
-    mpjpe = MeanEPE("joints_3d")
 
     from ..utils.profiling import StepTimer
 
@@ -109,6 +109,16 @@ def main(argv=None):
         # double-buffer device feeds: batch n+1 transfers while n computes
         from ..training.prefetch import prefetch_to_device
 
+        # device-side metric buffer: converting to host floats forces a sync,
+        # so drain it only on log steps / epoch end (the reference logs each
+        # LOG_INTERVAL too — POEM.py:485-514)
+        pending_metrics = []
+
+        def drain_metrics():
+            for m in pending_metrics:
+                loss_metric.feed({k: float(v) for k, v in m.items()}, batch_size)
+            pending_metrics.clear()
+
         for step_idx, dev_batch in enumerate(
             prefetch_to_device(batches(), trainer.mesh, size=2)
         ):
@@ -118,8 +128,9 @@ def main(argv=None):
                 jax.profiler.stop_trace()
                 profiling = False
                 logger.info(f"profiler trace written to {args.profile}")
-            loss_metric.feed({k: float(v) for k, v in metrics.items()}, batch_size)
+            pending_metrics.append(metrics)
             if step_idx % cfg.TRAIN.LOG_INTERVAL == 0:
+                drain_metrics()
                 global_step = epoch * steps_per_epoch + step_idx
                 for k, v in metrics.items():
                     summary.add_scalar(k, float(v), global_step)
@@ -131,20 +142,18 @@ def main(argv=None):
                 )
                 # per-view overlay images every 5x interval (reference
                 # POEM.py:491-514 viz cadence)
-                if step_idx % (cfg.TRAIN.LOG_INTERVAL * 5) == 0:
-                    try:
-                        from ..viztools.draw import denormalize_image, draw_joints_2d
+                if step_idx % (cfg.TRAIN.LOG_INTERVAL * 5) == 0 and "target_joints_2d" in dev_batch:
+                    from ..viztools.draw import denormalize_image, draw_joints_2d
 
-                        img0 = denormalize_image(np.asarray(batch["image"][0, 0]))
-                        gt0 = np.asarray(batch["target_joints_2d"][0, 0])
-                        summary.add_image(
-                            "img/viz_joints_2d_train",
-                            draw_joints_2d(img0, gt0),
-                            global_step,
-                            dataformats="HWC",
-                        )
-                    except Exception:
-                        pass
+                    img0 = denormalize_image(np.asarray(dev_batch["image"][0, 0]))
+                    gt0 = np.asarray(dev_batch["target_joints_2d"][0, 0])
+                    summary.add_image(
+                        "img/viz_joints_2d_train",
+                        draw_joints_2d(img0, gt0),
+                        global_step,
+                        dataformats="HWC",
+                    )
+        drain_metrics()
         recorder.record_loss(loss_metric, epoch, comment="train")
         recorder.record_checkpoint(state, epoch, snapshot_every=args.snapshot)
         loss_metric.reset()

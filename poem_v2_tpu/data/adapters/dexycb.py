@@ -40,6 +40,56 @@ from .common import bbox_center_scale, imread_rgb, mano_verts, require_dir
 
 CONSTANT_CAM_SERIAL = "840412060917"  # reference dexycb.py:286
 
+# official DexYCB protocol constants (dex_ycb_toolkit dex_ycb.py; these are
+# publishable dataset constants, reproduced so the split needs no toolkit).
+# s0 "default" setup: every subject contributes its sorted sequences; every
+# 5th sequence (i % 5 == 4) is held out — val takes it from subjects 1-2,
+# test from subjects 3-10; train gets the remaining 4/5 from all subjects.
+S0_SUBJECTS = (
+    "20200709-subject-01", "20200813-subject-02", "20200820-subject-03",
+    "20200903-subject-04", "20200908-subject-05", "20200918-subject-06",
+    "20200928-subject-07", "20201002-subject-08", "20201015-subject-09",
+    "20201022-subject-10",
+)
+S0_SERIALS = (
+    "836212060125", "839512060362", "840412060917", "841412060263",
+    "932122060857", "932122060861", "932122061900", "932122062010",
+)
+
+
+def s0_sequences(root: str, data_split: str) -> List[str]:
+    """Official s0 split sequence list ("subject/seq" relative paths).
+
+    Reproduces dex_ycb_toolkit's s0 protocol (consumed by the reference
+    through ``get_dataset(f"s0_{split}")`` — lib/datasets/dexycb.py:82-96):
+    per-subject sorted sequences, ``i % 5 == 4`` held out; val = subjects
+    1-2, test = subjects 3-10, train = all subjects on the 4/5 remainder.
+    Unknown subject directories (synthetic test fixtures) fall back to
+    positional subject indices.
+    """
+    subjects = [
+        s for s in sorted(os.listdir(root))
+        if os.path.isdir(os.path.join(root, s)) and s != "calibration"
+    ]
+
+    def subject_index(name: str, pos: int) -> int:
+        return S0_SUBJECTS.index(name) if name in S0_SUBJECTS else pos
+
+    if data_split == "val":
+        subjects = [s for i, s in enumerate(subjects) if subject_index(s, i) < 2]
+    elif data_split == "test":
+        subjects = [s for i, s in enumerate(subjects) if subject_index(s, i) >= 2]
+    keep = (lambda i: i % 5 != 4) if data_split == "train" else (lambda i: i % 5 == 4)
+
+    out: List[str] = []
+    for subject in subjects:
+        seqs = sorted(
+            s for s in os.listdir(os.path.join(root, subject))
+            if os.path.isfile(os.path.join(root, subject, s, "meta.yml"))
+        )
+        out.extend(f"{subject}/{s}" for i, s in enumerate(seqs) if keep(i))
+    return out
+
 
 def _yaml_load(path):
     import yaml
@@ -66,22 +116,10 @@ class DexYCB(HDataset):
         self.center_idx = center_idx
         self.root = require_dir(os.path.join(data_root, self.name), self.name)
 
-        # enumerate <subject>/<seq> dirs holding a meta.yml
+        # official s0 split (per-subject hold-out + subject filters —
+        # see s0_sequences); pass `sequences=` to override
         if sequences is None:
-            sequences = []
-            for subject in sorted(os.listdir(self.root)):
-                sdir = os.path.join(self.root, subject)
-                if not os.path.isdir(sdir) or subject == "calibration":
-                    continue
-                for seq in sorted(os.listdir(sdir)):
-                    if os.path.isfile(os.path.join(sdir, seq, "meta.yml")):
-                        sequences.append(f"{subject}/{seq}")
-            # split by sequence position (approximation of the toolkit's
-            # s0 protocol; pass `sequences=` explicitly for exact splits)
-            if data_split == "train":
-                sequences = [s for i, s in enumerate(sequences) if i % 5 != 4]
-            elif data_split in ("test", "val"):
-                sequences = [s for i, s in enumerate(sequences) if i % 5 == 4]
+            sequences = s0_sequences(self.root, data_split)
         self.sequences = list(sequences)
 
         self._meta: Dict[str, dict] = {}
@@ -194,6 +232,7 @@ class DexYCBMultiView(MultiviewDataset):
         master_system: str = "as_constant_camera",
         shuffle_views: bool = False,
         seed: int = 0,
+        test_with_multiview: bool = False,
     ):
         assert master_system in ("as_first_camera", "as_constant_camera")
         self._base = base
@@ -204,6 +243,16 @@ class DexYCBMultiView(MultiviewDataset):
         for i, (seq, serial, frame) in enumerate(base.samples):
             groups.setdefault((seq, frame), []).append(i)
         self.groups = [v for _, v in sorted(groups.items())]
+        if base.data_split == "test" and not test_with_multiview:
+            # test-mode master-rotation enumeration: each group expands to
+            # num_views entries with the view list rotated so every camera
+            # leads once (reference dexycb.py:332-349; only meaningful with
+            # as_first_camera, where the leading view is the master)
+            rotated: List[List[int]] = []
+            for g in self.groups:
+                for r in range(len(g)):
+                    rotated.append(g[r:] + g[:r])
+            self.groups = rotated
 
     @property
     def base(self):
@@ -247,4 +296,5 @@ def _build_dexycb_mv(cfg):
         base,
         master_system=cfg.get("MASTER_SYSTEM", "as_constant_camera"),
         shuffle_views=cfg.get("DATA_SPLIT", "train") == "train",
+        test_with_multiview=cfg.get("TEST_WITH_MULTIVIEW", False),
     )

@@ -45,11 +45,10 @@ def _init_params(batch: int) -> FitParams:
 
 
 def anatomical_loss(pose_aa: jnp.ndarray) -> jnp.ndarray:
-    """Soft penalties against impossible articulations.
+    """Cheap axis-angle penalty (kept for callers without MANO outputs).
 
-    Condenses the reference HandLoss static penalties
-    (lib/fit/hand_loss.py:10-141): large-angle and out-of-plane twists on
-    finger joints are quadratically penalised.
+    The fitter itself uses the faithful axis-aware stack in
+    :mod:`poem_v2_tpu.fit.hand_loss` (reference hand_loss.py:10-141).
     """
     finger = pose_aa.reshape(pose_aa.shape[0], 16, 3)[:, 1:]  # (B, 15, 3)
     # splay (y-axis) and twist (x-axis) should stay small; flexion (z) free-ish
@@ -94,7 +93,14 @@ class OneFrameFit:
         view_mask: jnp.ndarray,  # (B, V)
         target_joints_3d: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        pose_aa, verts, joints = self._forward(params)
+        quat_normed = params.quat / jnp.linalg.norm(
+            params.quat, axis=-1, keepdims=True
+        ).clip(1e-8)
+        pose_aa = quat_to_aa(quat_normed).reshape(quat_normed.shape[0], 48)
+        out = self.mano(pose_aa, params.shape)
+        verts = out.verts + params.tsl[:, None]
+        joints = out.joints + params.tsl[:, None]
+
         extr_m2c = invert_rigid(cam_extr)
         j_cam = cam_extr_transf(extr_m2c, joints[:, None])
         j2d = cam_intr_projection(cam_intr, j_cam)  # (B, V, 21, 2)
@@ -102,8 +108,17 @@ class OneFrameFit:
         mask = view_mask[..., None].astype(err.dtype)
         reproj = jnp.sum(err * mask) / jnp.maximum(jnp.sum(mask) * 21, 1.0)
 
+        # axis-aware anatomical stack (reference one_frame_fit.py:180-236);
+        # the axis frames come from the UN-translated MANO output — they
+        # only consume joint differences and local rotations
+        from .hand_loss import anatomical_loss as axis_anatomical_loss
+
+        anat = axis_anatomical_loss(
+            params.quat, quat_normed, params.shape, out.joints, out.transforms
+        )
+
         total = self.w["reproj"] * reproj
-        total = total + self.w["anat"] * anatomical_loss(pose_aa)
+        total = total + self.w["anat"] * anat
         total = total + self.w["shape"] * jnp.mean(params.shape**2)
         if target_joints_3d is not None and self.w["joint3d"]:
             total = total + self.w["joint3d"] * jnp.mean((joints - target_joints_3d) ** 2)

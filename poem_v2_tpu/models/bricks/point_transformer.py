@@ -63,6 +63,7 @@ class PtSelfAttnBlock(nn.Module):
         xyz: jnp.ndarray,  # (B, M, 3)
         features: jnp.ndarray,  # (B, M, d_points)
         anchor_idx: Optional[jnp.ndarray] = None,  # (A,) static anchors
+        anchor_xyz: Optional[jnp.ndarray] = None,  # (A, 3) verbatim anchor coords
     ) -> jnp.ndarray:
         pre = features
         x = nn.Dense(self.d_model, dtype=self.dtype, name="fc1")(features)
@@ -71,11 +72,17 @@ class PtSelfAttnBlock(nn.Module):
         vs = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_vs")(x)
 
         if anchor_idx is not None:
-            # fixed shared anchors: every point attends to the same subset
+            # fixed shared anchors: every point attends to the same subset.
+            # ``anchor_xyz`` reproduces the reference exactly: the loaded
+            # assets/anchor.npy coords feed the position encoding while
+            # anchor_idx gathers the features (point_transformers.py:24-30,
+            # 75-79 — xyz and idx come from the file, not the live cloud).
             B, M = xyz.shape[0], xyz.shape[1]
-            local_xyz = jnp.broadcast_to(
-                xyz[:, anchor_idx][:, None], (B, M, anchor_idx.shape[0], 3)
-            )
+            A = anchor_idx.shape[0]
+            if anchor_xyz is not None:
+                local_xyz = jnp.broadcast_to(anchor_xyz[None, None], (B, M, A, 3))
+            else:
+                local_xyz = jnp.broadcast_to(xyz[:, anchor_idx][:, None], (B, M, A, 3))
             k_g = jnp.broadcast_to(ks[:, anchor_idx][:, None], (B, M) + (anchor_idx.shape[0], self.d_model))
             v_g = jnp.broadcast_to(vs[:, anchor_idx][:, None], (B, M) + (anchor_idx.shape[0], self.d_model))
         else:
@@ -108,6 +115,7 @@ class PtCrossAttnBlock(nn.Module):
         query_xyz: jnp.ndarray,  # (B, M, 3)
         query_feat: jnp.ndarray,  # (B, M, d_points)
         anchor_idx: Optional[jnp.ndarray] = None,
+        anchor_xyz: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         pre = query_feat
         q = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_qs")(query_feat)
@@ -123,7 +131,10 @@ class PtCrossAttnBlock(nn.Module):
         if anchor_idx is not None:
             B, M = xyz.shape[0], query_xyz.shape[1]
             A = anchor_idx.shape[0]
-            local_xyz = jnp.broadcast_to(xyz[:, anchor_idx][:, None], (B, M, A, 3))
+            if anchor_xyz is not None:
+                local_xyz = jnp.broadcast_to(anchor_xyz[None, None], (B, M, A, 3))
+            else:
+                local_xyz = jnp.broadcast_to(xyz[:, anchor_idx][:, None], (B, M, A, 3))
             k_g = jnp.broadcast_to(k_full[:, anchor_idx][:, None], (B, M, A, self.d_model))
             v_g = jnp.broadcast_to(v_full[:, anchor_idx][:, None], (B, M, A, self.d_model))
         else:

@@ -45,6 +45,7 @@ class PointerLayer(nn.Module):
     n_neighbor: int
     n_neighbor_query: int
     init_block: bool
+    approx_knn: bool = True
     use_fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -57,27 +58,31 @@ class PointerLayer(nn.Module):
         query_feat: jnp.ndarray,  # (B, M, D)
         query_anchor_idx: Optional[jnp.ndarray] = None,
         pt_anchor_idx: Optional[jnp.ndarray] = None,
+        anchor_xyz: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         self_anchors = query_anchor_idx if self.init_block else None
         cross_anchors = pt_anchor_idx if self.init_block else None
+        a_xyz = anchor_xyz if self.init_block else None
 
         query_feat = PtSelfAttnBlock(
             d_points=self.feat_dim,
             d_model=self.feat_dim,
             k=self.n_neighbor_query,
+            approx_knn=self.approx_knn,
             use_fused=self.use_fused,
             dtype=self.dtype,
             name="query_self_attn",
-        )(query_xyz, query_feat, anchor_idx=self_anchors)
+        )(query_xyz, query_feat, anchor_idx=self_anchors, anchor_xyz=a_xyz)
 
         query_feat = PtCrossAttnBlock(
             d_points=self.feat_dim,
             d_model=self.feat_dim,
             k=self.n_neighbor,
+            approx_knn=self.approx_knn,
             use_fused=self.use_fused,
             dtype=self.dtype,
             name="query_cross_attn",
-        )(pt_xyz, pt_feats, query_xyz, query_feat, anchor_idx=cross_anchors)
+        )(pt_xyz, pt_feats, query_xyz, query_feat, anchor_idx=cross_anchors, anchor_xyz=a_xyz)
 
         delta = MLP(self.feat_dim, 3, dtype=self.dtype, name="reg_branch")(query_feat)
         return query_feat, query_xyz + delta.astype(query_xyz.dtype)
@@ -95,6 +100,7 @@ class PointMetroBlock(nn.Module):
     final_block: bool = False
     parametric_output: bool = False
     deterministic: bool = True
+    approx_knn: bool = True
     use_flash: bool = False
     use_flash_train: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -108,6 +114,7 @@ class PointMetroBlock(nn.Module):
         pt_feats: jnp.ndarray,  # (B, N, D)
         query_anchor_idx: Optional[jnp.ndarray] = None,
         pt_anchor_idx: Optional[jnp.ndarray] = None,
+        anchor_xyz: Optional[jnp.ndarray] = None,
     ):
         deterministic = self.deterministic
         embed = nn.Dense(self.hidden_size, dtype=self.dtype, name="embedding")
@@ -131,10 +138,11 @@ class PointMetroBlock(nn.Module):
             n_neighbor=self.n_neighbor,
             n_neighbor_query=self.n_neighbor_query,
             init_block=self.init_block,
+            approx_knn=self.approx_knn,
             use_fused=False,  # measured slower than the XLA fusion at POEM sizes
             dtype=self.dtype,
             name="vec_attn",
-        )(pt_xyz, k_emb, query_xyz, attn_out, query_anchor_idx, pt_anchor_idx)
+        )(pt_xyz, k_emb, query_xyz, attn_out, query_anchor_idx, pt_anchor_idx, anchor_xyz)
 
         query_feats_new = BertFFN(
             self.hidden_size, self.hidden_size * 4, self.dropout, dtype=self.dtype, name="ffn"
@@ -169,6 +177,7 @@ class PtEmbedDecoder(nn.Module):
     n_neighbor_query: int = 32
     parametric_output: bool = False
     remat: bool = True
+    approx_knn: bool = True
     use_flash: bool = False
     use_flash_train: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -195,6 +204,7 @@ class PtEmbedDecoder(nn.Module):
         pt_feats: jnp.ndarray,
         query_anchor_idx: Optional[jnp.ndarray] = None,
         pt_anchor_idx: Optional[jnp.ndarray] = None,
+        anchor_xyz: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ):
         coords = []
@@ -212,6 +222,7 @@ class PtEmbedDecoder(nn.Module):
                 final_block=(i == self.n_blocks - 1),
                 parametric_output=self.parametric_output,
                 deterministic=deterministic,
+                approx_knn=self.approx_knn,
                 use_flash=self.use_flash,
                 use_flash_train=self.use_flash_train,
                 dtype=self.dtype,
@@ -224,6 +235,7 @@ class PtEmbedDecoder(nn.Module):
                 pt_feats,
                 query_anchor_idx,
                 pt_anchor_idx,
+                anchor_xyz,
             )
             if pose_i is not None:
                 pred_pose, pred_shape = pose_i, shape_i

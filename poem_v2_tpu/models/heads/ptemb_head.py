@@ -109,6 +109,12 @@ class POEMGeneralizedHead(nn.Module):
     template_mesh: Optional[np.ndarray] = None  # (799, 3), centered at joint 9
     query_anchor_idx: Optional[np.ndarray] = None  # (32,)
     pt_anchor_idx: Optional[np.ndarray] = None  # (32,)
+    # verbatim init-block anchor coords (normalized space) — reference
+    # assets/anchor.npy loaded by anchor_points (point_transformers.py:24-30);
+    # when set, both init-block attentions use these coords for position
+    # encodings and the shared idx for feature gathers, as the reference does.
+    anchor_xyz: Optional[np.ndarray] = None  # (32, 3)
+    approx_knn: bool = True  # False = exact lax.top_k KNN (checkpoint parity)
     mano_layer: Optional[object] = None  # ManoLayer for parametric output
     n_blocks: int = 3
     num_heads: int = 4
@@ -224,6 +230,7 @@ class POEMGeneralizedHead(nn.Module):
             n_neighbor=self.n_neighbor,
             n_neighbor_query=self.n_neighbor_query,
             parametric_output=self.parametric_output,
+            approx_knn=self.approx_knn,
             use_flash=self.use_flash,
             use_flash_train=self.use_flash_train,
             remat=self.remat,
@@ -237,6 +244,9 @@ class POEMGeneralizedHead(nn.Module):
             merged,
             query_anchor_idx=jnp.asarray(self.query_anchor_idx, dtype=jnp.int32),
             pt_anchor_idx=jnp.asarray(self.pt_anchor_idx, dtype=jnp.int32),
+            anchor_xyz=(
+                None if self.anchor_xyz is None else jnp.asarray(self.anchor_xyz, dtype=f32)
+            ),
             deterministic=deterministic,
         )  # coords: (n_blocks, B, 799, 3) in normalized space
 

@@ -126,6 +126,70 @@ class POEMNet(nn.Module):
         return preds
 
 
+# repo-level static assets (the reference's released checkpoints are coupled
+# to the exact contents of assets/{bps,anchor,anchor_idx}.npy — reference
+# ptEmb_head.py:790-809 and point_transformers.py:10-32 load them verbatim)
+import os
+
+_ASSETS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "assets")
+
+
+def load_static_assets(head_cfg: Config, nsample: int, radius: float, num_query: int = 799):
+    """Resolve the BPS basis and init-block anchors.
+
+    Paths come from cfg (``HEAD.BPS_PATH`` / ``HEAD.ANCHOR_PATH`` /
+    ``HEAD.ANCHOR_IDX_PATH``), defaulting to the repo ``assets/`` copies of
+    the reference arrays when present. An explicit cfg path is strict
+    (shape mismatch raises); the implicit repo default is skipped when the
+    model geometry doesn't match it (tiny test configs), falling back to
+    the deterministic generator + FPS.
+
+    Returns ``(bps (nsample, 3) meters, anchor_xyz (32, 3) normalized or
+    None, anchor_idx (32,) or None)``.
+    """
+
+    def _resolve(key: str, fname: str):
+        p = head_cfg.get(key, None) if hasattr(head_cfg, "get") else None
+        if p:
+            return p, True  # explicit: strict
+        default = os.path.join(_ASSETS_DIR, fname)
+        return (default if os.path.exists(default) else None), False
+
+    bps_path, bps_strict = _resolve("BPS_PATH", "bps.npy")
+    anchor_path, a_strict = _resolve("ANCHOR_PATH", "anchor.npy")
+    anchor_idx_path, ai_strict = _resolve("ANCHOR_IDX_PATH", "anchor_idx.npy")
+
+    bps = None
+    if bps_path is not None:
+        bps = np.load(bps_path).reshape(-1, 3).astype(np.float32)
+        if bps.shape[0] != nsample:
+            if bps_strict:
+                raise ValueError(
+                    f"BPS asset {bps_path} has {bps.shape[0]} points, cfg wants {nsample}"
+                )
+            bps = None
+    if bps is None:
+        from .heads.ptemb_head import generate_bps_basis
+
+        bps = generate_bps_basis(nsample, radius)
+
+    anchor_xyz = anchor_idx = None
+    if anchor_path is not None and anchor_idx_path is not None:
+        anchor_xyz = np.load(anchor_path).reshape(-1, 3).astype(np.float32)
+        anchor_idx = np.load(anchor_idx_path).reshape(-1).astype(np.int32)
+        # the shared idx gathers features from BOTH the query cloud and the
+        # BPS cloud (reference anchor_points file-load semantics), so every
+        # index must be valid for the smaller of the two
+        if int(anchor_idx.max()) >= min(num_query, nsample):
+            if a_strict or ai_strict:
+                raise ValueError(
+                    f"anchor_idx from {anchor_idx_path} max {int(anchor_idx.max())} "
+                    f"out of range for num_query={num_query}, nsample={nsample}"
+                )
+            anchor_xyz = anchor_idx = None
+    return bps, anchor_xyz, anchor_idx
+
+
 def _default_use_flash() -> bool:
     """Pallas flash attention only lowers on real TPU backends."""
     dev = jax.config.jax_default_device
@@ -136,7 +200,7 @@ def _default_use_flash() -> bool:
 
 def create_poem_model(
     cfg: Config, dtype=jnp.float32, use_flash: bool = None, remat: bool = True,
-    use_flash_train: bool = False
+    use_flash_train: bool = False, exact_knn: bool = False
 ) -> Tuple[POEMNet, Dict[str, Any]]:
     """Build a POEMNet + auxiliary constants from a reference-schema config.
 
@@ -169,20 +233,27 @@ def create_poem_model(
     parametric = tr_cfg.get("PARAMETRIC_OUTPUT", False)
     transformer_center_idx = tr_cfg.get("TRANSFORMER_CENTER_IDX", 9)
 
-    # static geometry assets (deterministic; reference caches these to
-    # assets/bps.npy + assets/anchor*.npy — ptEmb_head.py:790-809,
-    # point_transformers.py:10-32)
-    bps = generate_bps_basis(nsample, radius)
+    # static geometry assets: the reference arrays from assets/ when present
+    # (ptEmb_head.py:790-809, point_transformers.py:10-32 — released
+    # checkpoints are coupled to them), deterministic generation otherwise
+    bps, anchor_xyz, anchor_idx = load_static_assets(head_cfg, nsample, radius)
     mano_layer = ManoLayer(center_idx=transformer_center_idx)
     mano_out = mano_layer(jnp.zeros((1, 48)), jnp.zeros((1, 10)))
     template = np.asarray(
         jnp.concatenate([mano_out.joints, mano_out.verts], axis=1)[0]
     )  # (799, 3), centered at joint 9
 
-    from ..ops.points import farthest_point_sampling
+    if anchor_idx is not None:
+        # one shared anchor set for both init-block attentions, exactly as
+        # the reference's anchor_points() file load behaves
+        q_anchor_idx = pt_anchor_idx = anchor_idx
+    else:
+        from ..ops.points import farthest_point_sampling
 
-    _, pt_anchor_idx = farthest_point_sampling(jnp.asarray(bps[None] / radius), 32)
-    _, q_anchor_idx = farthest_point_sampling(jnp.asarray(template[None] / radius), 32)
+        _, pt_anchor_idx = farthest_point_sampling(jnp.asarray(bps[None] / radius), 32)
+        _, q_anchor_idx = farthest_point_sampling(jnp.asarray(template[None] / radius), 32)
+        pt_anchor_idx = np.asarray(pt_anchor_idx[0])
+        q_anchor_idx = np.asarray(q_anchor_idx[0])
 
     head = POEMGeneralizedHead(
         embed_dims=head_cfg.EMBED_DIMS,
@@ -196,8 +267,10 @@ def create_poem_model(
         parametric_output=parametric,
         bps_basis=bps,
         template_mesh=template,
-        query_anchor_idx=np.asarray(q_anchor_idx[0]),
-        pt_anchor_idx=np.asarray(pt_anchor_idx[0]),
+        query_anchor_idx=np.asarray(q_anchor_idx),
+        pt_anchor_idx=np.asarray(pt_anchor_idx),
+        anchor_xyz=anchor_xyz,
+        approx_knn=not exact_knn,
         mano_layer=mano_layer if parametric else None,
         n_blocks=tr_cfg.N_BLOCKS,
         num_heads=tr_cfg.NUM_ATTENTION_HEADS,

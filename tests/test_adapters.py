@@ -423,3 +423,55 @@ def test_adapter_dump_then_stream_roundtrip(tmp_path):
     assert batch["image"].shape == (2, 2, 32, 32, 3)
     assert batch["view_mask"].all()
     assert np.isfinite(batch["master_joints_3d"]).all()
+
+
+def test_dexycb_s0_split_protocol(tmp_path):
+    """Official s0 protocol: per-subject 1/5 hold-out + subject filters
+    (dex_ycb_toolkit semantics, reference dexycb.py:82-96)."""
+    from poem_v2_tpu.data.adapters.dexycb import S0_SUBJECTS, s0_sequences
+
+    root = tmp_path / "DexYCB"
+    for subj in S0_SUBJECTS:
+        for i in range(10):
+            d = root / subj / f"2020_seq{i:02d}"
+            d.mkdir(parents=True)
+            (d / "meta.yml").write_text("{}")
+
+    train = s0_sequences(str(root), "train")
+    val = s0_sequences(str(root), "val")
+    test = s0_sequences(str(root), "test")
+    assert len(train) == 10 * 8  # 4/5 of each subject's sequences
+    assert len(val) == 2 * 2  # subjects 1-2, every 5th sequence
+    assert len(test) == 8 * 2  # subjects 3-10, every 5th sequence
+    assert set(train).isdisjoint(set(val) | set(test))
+    # held-out sequences are per-subject indices 4 and 9
+    assert all(s.split("/")[1][-2:] in ("04", "09") for s in val + test)
+    assert all(s.split("/")[0] in S0_SUBJECTS[:2] for s in val)
+    assert all(s.split("/")[0] in S0_SUBJECTS[2:] for s in test)
+
+
+def test_dexycb_test_master_rotation_enumeration(tmp_path):
+    """Test split enumerates every camera as master (reference
+    dexycb.py:332-349); TEST_WITH_MULTIVIEW=True disables it."""
+    from poem_v2_tpu.data.adapters import DexYCB, DexYCBMultiView
+
+    root = make_dexycb_root(str(tmp_path))
+    seq = ["20200709-subject-01/20200709_141754"]
+    ds = DexYCB(root, data_split="test", sequences=seq)
+
+    mv = DexYCBMultiView(ds, master_system="as_first_camera")
+    assert len(mv) == 4  # 2 frames x 2 rotations
+    # per frame, each serial leads exactly once
+    for frame_pair in ([0, 1], [2, 3]):
+        leads = {ds.samples[mv.views_of(i)[0]][1] for i in frame_pair}
+        assert leads == {"840412060917", "932122060857"}
+        sets = [tuple(sorted(mv.views_of(i))) for i in frame_pair]
+        assert sets[0] == sets[1]  # same view set, different master
+
+    mv_plain = DexYCBMultiView(ds, master_system="as_first_camera",
+                               test_with_multiview=True)
+    assert len(mv_plain) == 2
+
+    # train split never rotates
+    ds_tr = DexYCB(root, data_split="train", sequences=seq)
+    assert len(DexYCBMultiView(ds_tr, master_system="as_first_camera")) == 2

@@ -1,0 +1,409 @@
+"""Differential numeric parity vs the torch reference implementation.
+
+Runs the *actual reference modules* from /root/reference on CPU (torch +
+transformers are installed), converts their weights with
+``utils/torch_convert.py``, and asserts the flax modules produce the
+same outputs on identical inputs. This upgrades "compiles with the
+right shapes" into "is numerically the same model":
+
+* ``point_METRO_block`` (lib/models/bricks/pt_metro_transformer.py:94-200)
+  vs :class:`poem_v2_tpu.models.decoder.PointMetroBlock` — both the KNN
+  block and the init (IFPS anchor) block, the latter loading the real
+  ``assets/anchor{,_idx}.npy``.
+* ``merge_features_mv``/``_sv`` (lib/models/heads/ptEmb_head.py:745-771)
+  vs :class:`poem_v2_tpu.models.heads.ptemb_head.MergeFeaturesMV`.
+
+The reference's heavy deps (pytorch3d, manotorch, yacs, cv2 chains) are
+stubbed with minimal pure-torch equivalents — only code paths the tests
+exercise are real; everything numeric under test is the reference's own
+code.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+ASSETS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "assets")
+
+
+# --------------------------------------------------------------------------
+# reference import machinery: fake `lib` package + dependency stubs
+# --------------------------------------------------------------------------
+
+def _torch_knn_points(query, points, K, return_nn=False):
+    """Exact KNN, pytorch3d.ops.knn_points contract (dists, idx, nn)."""
+    d2 = torch.cdist(query, points) ** 2
+    dists, idx = torch.topk(d2, K, dim=-1, largest=False)
+    nn = None
+    if return_nn:
+        B, Q, _ = idx.shape
+        nn = torch.gather(
+            points.unsqueeze(1).expand(B, Q, points.shape[1], points.shape[2]),
+            2,
+            idx.unsqueeze(-1).expand(B, Q, K, points.shape[2]),
+        )
+    return dists, idx, nn
+
+
+def _torch_sample_farthest_points(points, K):
+    B, N, _ = points.shape
+    idx = torch.zeros(B, K, dtype=torch.long)
+    for b in range(B):
+        min_d = torch.full((N,), float("inf"))
+        cur = 0
+        for i in range(K):
+            idx[b, i] = cur
+            d = ((points[b] - points[b, cur]) ** 2).sum(-1)
+            min_d = torch.minimum(min_d, d)
+            cur = int(torch.argmax(min_d))
+    xyz = torch.stack([points[b, idx[b]] for b in range(B)])
+    return xyz, idx
+
+
+def _stub_module(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def _stub_package(name):
+    mod = types.ModuleType(name)
+    mod.__path__ = []
+    sys.modules[name] = mod
+    return mod
+
+
+def _load_ref_module(fullname, relpath):
+    path = os.path.join(REF, relpath)
+    spec = importlib.util.spec_from_file_location(fullname, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[fullname] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class _DummyLogger:
+    def __getattr__(self, name):
+        return lambda *a, **k: None
+
+
+class _Registry:
+    def register_module(self, *a, **k):
+        def deco(cls):
+            return cls
+
+        return deco
+
+    def __call__(self, *a, **k):
+        return self.register_module()
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    """Import the reference pt_metro_transformer + ptEmb_head with stubs."""
+    saved = dict(sys.modules)
+
+    def index_points(points, idx):
+        raw_size = idx.size()
+        idx = idx.reshape(raw_size[0], -1)
+        res = torch.gather(points, 1, idx[..., None].expand(-1, -1, points.size(-1)))
+        return res.reshape(*raw_size, -1)
+
+    try:
+        # third-party stubs
+        p3d = _stub_package("pytorch3d")
+        _stub_module(
+            "pytorch3d.ops",
+            knn_points=_torch_knn_points,
+            sample_farthest_points=_torch_sample_farthest_points,
+            ball_query=lambda *a, **k: (_ for _ in ()).throw(NotImplementedError),
+        )
+        p3d.ops = sys.modules["pytorch3d.ops"]
+        mano_pkg = _stub_package("manotorch")
+        _stub_module("manotorch.manolayer", ManoLayer=object)
+        mano_pkg.manolayer = sys.modules["manotorch.manolayer"]
+        for extra in ("imageio",):
+            if extra not in sys.modules:
+                _stub_module(extra)
+
+        # fake reference package tree (the real lib/models/__init__ pulls
+        # in every model; we only want two module files)
+        _stub_package("lib")
+        _stub_package("lib.models")
+        _stub_package("lib.models.bricks")
+        _stub_package("lib.models.layers")
+        _stub_package("lib.models.heads")
+        _stub_package("lib.utils")
+        _stub_module("lib.utils.logger", logger=_DummyLogger())
+        _stub_module("lib.utils.points_utils", index_points=index_points,
+                     sample_points_from_ball_query=None)
+        _stub_module("lib.utils.misc", param_size=lambda m: 0)
+        _stub_module("lib.utils.config", CN=dict)
+        _stub_module(
+            "lib.utils.builder",
+            HEAD=_Registry(), TRANSFORMER=_Registry(),
+            build_transformer=lambda *a, **k: None,
+        )
+        _stub_module(
+            "lib.utils.transform",
+            rot6d_to_aa=None, inverse_sigmoid=None, batch_cam_extr_transf=None,
+            batch_cam_intr_projection=None, bchw_2_bhwc=None, denormalize=None,
+        )
+        _stub_module("lib.utils.collation", generate_grid_sample_proj=None)
+        _stub_module("lib.models.layers.petr_transformer", SinePositionalEncoding3D=object)
+        _stub_module("lib.models.bricks.transformer", build_transformer=lambda *a, **k: None)
+
+        pt = _load_ref_module(
+            "lib.models.bricks.point_transformers",
+            "lib/models/bricks/point_transformers.py",
+        )
+        sys.modules["lib.models.bricks"].point_transformers = pt
+        pmt = _load_ref_module(
+            "lib.models.bricks.pt_metro_transformer",
+            "lib/models/bricks/pt_metro_transformer.py",
+        )
+        head_mod = _load_ref_module(
+            "lib.models.heads.ptEmb_head", "lib/models/heads/ptEmb_head.py"
+        )
+        yield {"pt": pt, "pmt": pmt, "head": head_mod}
+    finally:
+        for k in list(sys.modules):
+            if k not in saved:
+                del sys.modules[k]
+            else:
+                sys.modules[k] = saved[k]
+
+
+def _make_bert_config(hidden, heads, dropout, n_neighbor, init_block, final_block,
+                      parametric=False):
+    """Replicate PtEmbedTRv4's per-block BertConfig construction
+    (reference lib/models/layers/ptEmb_transformer.py:330-360)."""
+    from transformers import BertConfig
+
+    config = BertConfig.from_json_file(os.path.join(REF, "config/backbone/bert_cfg.json"))
+    config.output_attentions = False
+    config.hidden_dropout_prob = dropout
+    config.img_feature_dim = hidden
+    config.output_feature_dim = hidden
+    config.bps_feature_dim = 4096 + 3
+    config.parametric_output = parametric
+    config.center_idx = 9
+    config.num_hidden_layers = 4
+    config.hidden_size = hidden
+    config.num_attention_heads = heads
+    config.intermediate_size = hidden * 4
+    config.max_position_embeddings = 4096
+    config.n_neighbor = n_neighbor
+    config.n_neighbor_query = n_neighbor
+    config.init_block = init_block
+    config.final_block = final_block
+    config._attn_implementation = "eager"
+    return config
+
+
+def _run_block_parity(ref_modules, init_block, tmp_path, monkeypatch):
+    import jax
+    import jax.numpy as jnp
+
+    from poem_v2_tpu.models.decoder import PointMetroBlock
+    from poem_v2_tpu.utils.torch_convert import convert_decoder_block
+
+    hidden, heads, K = 64, 4, 8
+    # M=799 is hardcoded in the reference IFPS path; N=799 keeps the
+    # reference's internally-built all-zero attention mask broadcastable
+    # under transformers>=4.57 (older HF ignored it for cross-attention;
+    # either way it adds zero to the scores)
+    B, M, N = 2, 799, 799
+
+    if init_block:
+        # reference anchor_points() loads assets/ relative to cwd; the real
+        # released arrays index both clouds (max idx 774 < 799)
+        os.makedirs(tmp_path / "assets", exist_ok=True)
+        anchor_xyz = np.load(os.path.join(ASSETS, "anchor.npy"))
+        anchor_idx = np.load(os.path.join(ASSETS, "anchor_idx.npy"))
+        np.save(tmp_path / "assets" / "anchor.npy", anchor_xyz)
+        np.save(tmp_path / "assets" / "anchor_idx.npy", anchor_idx)
+        monkeypatch.chdir(tmp_path)
+
+    config = _make_bert_config(hidden, heads, 0.1, K, init_block, final_block=False)
+    torch.manual_seed(0)
+    ref_block = ref_modules["pmt"].point_METRO_block(config)
+    ref_block.eval()
+
+    rng = np.random.RandomState(3)
+    query_xyz = rng.randn(B, M, 3).astype(np.float32) * 0.5
+    query_feat = rng.randn(B, M, hidden).astype(np.float32)
+    pt_xyz = rng.randn(B, N, 3).astype(np.float32) * 0.5
+    pt_feats = rng.randn(B, N, hidden).astype(np.float32)
+
+    with torch.no_grad():
+        t_feats, t_xyz, _, _ = ref_block(
+            torch.from_numpy(query_xyz), torch.from_numpy(query_feat),
+            torch.from_numpy(pt_xyz), torch.from_numpy(pt_feats),
+        )
+
+    # convert weights: rename to the full-model key layout the converter expects
+    prefix = "ptEmb_head.transformer.pt_metro_encoder.0."
+    state = {prefix + k: v for k, v in ref_block.state_dict().items()}
+
+    flax_block = PointMetroBlock(
+        hidden_size=hidden, num_heads=heads, dropout=0.1,
+        n_neighbor=K, n_neighbor_query=K, init_block=init_block,
+        deterministic=True, approx_knn=False,
+    )
+    kw = {}
+    if init_block:
+        kw = dict(
+            query_anchor_idx=jnp.asarray(anchor_idx.reshape(-1), dtype=jnp.int32),
+            pt_anchor_idx=jnp.asarray(anchor_idx.reshape(-1), dtype=jnp.int32),
+            anchor_xyz=jnp.asarray(anchor_xyz.reshape(-1, 3)),
+        )
+    variables = flax_block.init(
+        jax.random.PRNGKey(0), jnp.asarray(query_xyz), jnp.asarray(query_feat),
+        jnp.asarray(pt_xyz), jnp.asarray(pt_feats), **kw,
+    )
+    params = jax.tree.map(np.asarray, variables["params"])
+    used = convert_decoder_block(state, prefix, {"block": params}, "block")
+    # every torch weight that participates in this block's forward must be
+    # consumed (embeddings/pooler/position_embeddings are dead in forward)
+    live = [k for k in state
+            if not any(s in k for s in ("embeddings.", "pooler.", "position_embeddings."))]
+    assert set(live) <= set(used), sorted(set(live) - set(used))
+
+    j_feats, j_xyz, _, _ = flax_block.apply(
+        {"params": params}, jnp.asarray(query_xyz), jnp.asarray(query_feat),
+        jnp.asarray(pt_xyz), jnp.asarray(pt_feats), **kw,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(j_xyz), t_xyz.numpy(), atol=2e-5, rtol=1e-4,
+        err_msg="query_xyz diverged between reference torch block and flax block",
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_feats), t_feats.numpy(), atol=2e-5, rtol=1e-4,
+        err_msg="query_feats diverged between reference torch block and flax block",
+    )
+
+
+def test_point_metro_block_knn_parity(ref_modules, tmp_path, monkeypatch):
+    """Non-init decoder block (exact KNN path) matches to <=2e-5."""
+    _run_block_parity(ref_modules, init_block=False, tmp_path=tmp_path,
+                      monkeypatch=monkeypatch)
+
+
+def test_point_metro_block_init_anchor_parity(ref_modules, tmp_path, monkeypatch):
+    """Init block with the real assets/anchor npys matches to <=2e-5.
+
+    This exercises the reference's 'flawed-but-released' anchor semantics:
+    the SAME anchor file feeds both attentions — loaded xyz for position
+    encodings, loaded idx for feature gathers on both clouds.
+    """
+    _run_block_parity(ref_modules, init_block=True, tmp_path=tmp_path,
+                      monkeypatch=monkeypatch)
+
+
+def test_merge_features_mv_parity(ref_modules):
+    """Reference merge_features_mv (per-sample, ragged) == masked einsum."""
+    import jax
+    import jax.numpy as jnp
+
+    from poem_v2_tpu.models.heads.ptemb_head import MergeFeaturesMV
+    from poem_v2_tpu.utils.torch_convert import convert_linear, set_in_tree
+
+    E, NS = 32, 64
+    head_cls = ref_modules["head"].POEM_Generalized_Head
+
+    torch.manual_seed(1)
+    merge_net = torch.nn.ModuleList([
+        torch.nn.Sequential(torch.nn.Linear(E, E), torch.nn.ReLU(), torch.nn.Linear(E, E // 2)),
+        torch.nn.Sequential(torch.nn.Linear(E // 2, E // 2), torch.nn.ReLU(), torch.nn.Linear(E // 2, E)),
+    ])
+
+    rng = np.random.RandomState(7)
+    V_max = 5
+    feats = rng.randn(2, V_max, NS, E).astype(np.float32)
+    view_counts = [4, 2]
+
+    # reference path: per-sample ragged call, master first (q layout is
+    # (B, nsample, V, C) there — ptEmb_head.py:745)
+    ref_out = []
+    for b, n in enumerate(view_counts):
+        q = torch.from_numpy(feats[b, :n]).permute(1, 0, 2).unsqueeze(0)  # (1, NS, n, E)
+        with torch.no_grad():
+            out = head_cls.merge_features_mv(None, q, merge_net, torch.zeros(1))
+        ref_out.append(out[0].numpy())
+    ref_out = np.stack(ref_out)  # (B, NS, E)
+
+    # flax path: one masked call over the padded layout
+    view_mask = np.zeros((2, V_max), bool)
+    for b, n in enumerate(view_counts):
+        view_mask[b, :n] = True
+
+    module = MergeFeaturesMV(embed_dims=E)
+    variables = module.init(jax.random.PRNGKey(0), jnp.asarray(feats), jnp.asarray(view_mask))
+    params = jax.tree.map(np.asarray, variables["params"])
+    tree = {"merge_feature": params}
+    for i, net in enumerate(["merge_net_0", "merge_net_1"]):
+        for j, dense in enumerate(["Dense_0", "Dense_1"]):
+            lin = merge_net[i][2 * j]
+            set_in_tree(tree, ["merge_feature", net, dense, "kernel"],
+                        convert_linear(lin.weight))
+            set_in_tree(tree, ["merge_feature", net, dense, "bias"],
+                        lin.bias.detach().numpy())
+
+    j_out = module.apply({"params": tree["merge_feature"]}, jnp.asarray(feats),
+                         jnp.asarray(view_mask))
+    np.testing.assert_allclose(np.asarray(j_out), ref_out, atol=1e-5, rtol=1e-4)
+
+
+def test_merge_features_sv_parity(ref_modules):  # noqa: D103
+    """Single-view residual merge variant (ptEmb_head.py:764-771)."""
+    import jax
+    import jax.numpy as jnp
+
+    from poem_v2_tpu.models.heads.ptemb_head import MergeFeaturesMV
+    from poem_v2_tpu.utils.torch_convert import convert_linear, set_in_tree
+
+    E, NS = 32, 64
+    head_cls = ref_modules["head"].POEM_Generalized_Head
+    torch.manual_seed(2)
+    merge_net = torch.nn.ModuleList([
+        torch.nn.Sequential(torch.nn.Linear(E, E), torch.nn.ReLU(), torch.nn.Linear(E, E // 2)),
+        torch.nn.Sequential(torch.nn.Linear(E // 2, E // 2), torch.nn.ReLU(), torch.nn.Linear(E // 2, E)),
+    ])
+    rng = np.random.RandomState(9)
+    V_max = 3
+    feats = rng.randn(1, V_max, NS, E).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = head_cls.merge_features_sv(
+            None, torch.from_numpy(feats[0, 0]).unsqueeze(0), merge_net, torch.zeros(1)
+        )[0].numpy()
+
+    view_mask = np.zeros((1, V_max), bool)
+    view_mask[0, 0] = True  # single valid view -> sv branch
+
+    module = MergeFeaturesMV(embed_dims=E)
+    variables = module.init(jax.random.PRNGKey(0), jnp.asarray(feats), jnp.asarray(view_mask))
+    params = jax.tree.map(np.asarray, variables["params"])
+    tree = {"merge_feature": params}
+    for i, net in enumerate(["merge_net_0", "merge_net_1"]):
+        for j, dense in enumerate(["Dense_0", "Dense_1"]):
+            lin = merge_net[i][2 * j]
+            set_in_tree(tree, ["merge_feature", net, dense, "kernel"], convert_linear(lin.weight))
+            set_in_tree(tree, ["merge_feature", net, dense, "bias"], lin.bias.detach().numpy())
+
+    j_out = module.apply({"params": tree["merge_feature"]}, jnp.asarray(feats),
+                         jnp.asarray(view_mask))
+    np.testing.assert_allclose(np.asarray(j_out)[0], ref_out, atol=1e-5, rtol=1e-4)
