@@ -96,6 +96,15 @@ def decode_sample(raw: Dict[str, bytes]) -> Dict:
     return out
 
 
+def split_urls_for_process(urls: List[str], process_index: int, process_count: int) -> List[str]:
+    """Disjoint, exhaustive shard split across hosts.
+
+    The SPMD replacement for ``wds.split_by_node``
+    (reference multiview_wds.py:47): process i strides the shard list.
+    """
+    return list(urls[process_index::process_count])
+
+
 class MultiviewWebDataset:
     """Stream of processed multi-view samples from tar shards."""
 
@@ -126,8 +135,7 @@ class MultiviewWebDataset:
             assert self.view_range is not None and self.view_range[0] >= 1
 
     def _shards_for_host(self) -> List[str]:
-        # split_by_node equivalent: stride the shard list by process index
-        return self.urls[self.process_index :: self.process_count]
+        return split_urls_for_process(self.urls, self.process_index, self.process_count)
 
     def __iter__(self) -> Iterator[Dict]:
         shards = self._shards_for_host()

@@ -25,9 +25,17 @@ from ...utils.registry import BACKBONE
 from .resnet import BasicBlock, Bottleneck, make_norm
 
 
-def _resize_to(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    b, _, _, c = x.shape
-    return jax.image.resize(x, (b, h, w, c), method="bilinear")
+def _upsample_nearest(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Integer-factor nearest upsample as broadcast+reshape (free on TPU).
+
+    Matches the reference fuse layers exactly: nn.Upsample(mode='nearest')
+    (reference hrnet.py:191) — NOT bilinear.
+    """
+    b, h0, w0, c = x.shape
+    sh, sw = h // h0, w // w0
+    assert sh * h0 == h and sw * w0 == w, f"non-integer upsample {h0}x{w0}->{h}x{w}"
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h0, sh, w0, sw, c))
+    return x.reshape(b, h, w, c)
 
 
 class FuseLayer(nn.Module):
@@ -50,7 +58,7 @@ class FuseLayer(nn.Module):
                     y = nn.Conv(self.channels[i], (1, 1), use_bias=False, dtype=self.dtype,
                                 name=f"up_{j}_to_{i}_conv")(y)
                     y = make_norm(self.norm, self.channels[i], self.dtype, name=f"up_{j}_to_{i}_norm")(y)
-                    y = _resize_to(y, xs[i].shape[1], xs[i].shape[2])
+                    y = _upsample_nearest(y, xs[i].shape[1], xs[i].shape[2])
                 elif j < i:
                     # downsample: chain of stride-2 3x3 convs
                     for k in range(i - j):

@@ -68,10 +68,11 @@ class PtSelfAttnBlock(nn.Module):
         pre = features
         x = nn.Dense(self.d_model, dtype=self.dtype, name="fc1")(features)
         q = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_qs")(x)
-        ks = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_ks")(x)
-        vs = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_vs")(x)
+        w_ks = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_ks")
+        w_vs = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_vs")
 
         if anchor_idx is not None:
+            ks, vs = w_ks(x), w_vs(x)
             # fixed shared anchors: every point attends to the same subset.
             # ``anchor_xyz`` reproduces the reference exactly: the loaded
             # assets/anchor.npy coords feed the position encoding while
@@ -87,8 +88,13 @@ class PtSelfAttnBlock(nn.Module):
             v_g = jnp.broadcast_to(vs[:, anchor_idx][:, None], (B, M) + (anchor_idx.shape[0], self.d_model))
         else:
             _, idx, local_xyz = knn_points(xyz, xyz, self.k, approx=self.approx_knn)
-            k_g = index_points(ks, idx)
-            v_g = index_points(vs, idx)
+            # HBM gathers are the hot op here (measured ~25 GB/s on v5e):
+            # gather the shared fc1 activations ONCE, then run the k/v
+            # projections on the gathered (M, K, D) tensor — (M*K)/N more
+            # dense FLOPs (free on the MXU) for half the gather traffic.
+            x_g = index_points(x, idx)
+            k_g = w_ks(x_g)
+            v_g = w_vs(x_g)
 
         fc_delta = _mlp_params(self, "fc_delta", 3, self.d_model)
         fc_gamma = _mlp_params(self, "fc_gamma", self.d_model, self.d_model)
@@ -120,13 +126,9 @@ class PtCrossAttnBlock(nn.Module):
         pre = query_feat
         q = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_qs")(query_feat)
 
-        # Linear maps commute with the gather: transform the N cloud points
-        # once, then gather K neighbours — ~(M*K)/N fewer dense FLOPs than
-        # transforming gathered neighbourhoods (the reference transforms
-        # after gathering, point_transformers.py:141-143).
         x_full = nn.Dense(self.d_model, dtype=self.dtype, name="fc1")(features)
-        k_full = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_ks")(x_full)
-        v_full = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_vs")(x_full)
+        w_ks = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_ks")
+        w_vs = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_vs")
 
         if anchor_idx is not None:
             B, M = xyz.shape[0], query_xyz.shape[1]
@@ -135,12 +137,17 @@ class PtCrossAttnBlock(nn.Module):
                 local_xyz = jnp.broadcast_to(anchor_xyz[None, None], (B, M, A, 3))
             else:
                 local_xyz = jnp.broadcast_to(xyz[:, anchor_idx][:, None], (B, M, A, 3))
+            k_full, v_full = w_ks(x_full), w_vs(x_full)
             k_g = jnp.broadcast_to(k_full[:, anchor_idx][:, None], (B, M, A, self.d_model))
             v_g = jnp.broadcast_to(v_full[:, anchor_idx][:, None], (B, M, A, self.d_model))
         else:
             _, idx, local_xyz = knn_points(query_xyz, xyz, self.k, approx=self.approx_knn)
-            k_g = index_points(k_full, idx)
-            v_g = index_points(v_full, idx)
+            # one gather of the shared fc1 activations, then project the
+            # gathered tensor — half the HBM gather traffic (see
+            # PtSelfAttnBlock; gathers measured ~25 GB/s on v5e)
+            x_g = index_points(x_full, idx)
+            k_g = w_ks(x_g)
+            v_g = w_vs(x_g)
 
         fc_delta = _mlp_params(self, "fc_delta", 3, self.d_model)
         fc_gamma = _mlp_params(self, "fc_gamma", self.d_model, self.d_model)

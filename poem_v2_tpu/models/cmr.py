@@ -32,6 +32,82 @@ from ..utils.registry import MODEL
 from .backbones.resnet import ResNet
 
 
+def _to_dense(m) -> np.ndarray:
+    if hasattr(m, "todense"):
+        return np.asarray(m.todense(), dtype=np.float32)
+    return np.asarray(m, dtype=np.float32)
+
+
+def extract_spirals(faces: np.ndarray, n_verts: int, seq_length: int) -> np.ndarray:
+    """Spiral index sequences from mesh topology: ordered 1-ring walk via
+    shared triangles, extended ring-by-ring to ``seq_length``.
+
+    Topology-faithful equivalent of the spiralnet++ preprocessing the
+    reference runs on its template (external/cmr/utils.py:38-41); start
+    vertex choice is the lowest-index neighbour (deterministic; the
+    upstream picks by geometry, so orderings can rotate — SpiralConv
+    weights are sequence-position-specific, noted for converted ckpts).
+    """
+    nbrs = [set() for _ in range(n_verts)]
+    nxt = [dict() for _ in range(n_verts)]
+    for a, b, c in np.asarray(faces, dtype=np.int64):
+        for v, x, y in ((a, b, c), (b, c, a), (c, a, b)):
+            nbrs[v].update((int(x), int(y)))
+            nxt[v][int(x)] = int(y)
+    out = np.zeros((n_verts, seq_length), np.int32)
+    for v in range(n_verts):
+        if not nbrs[v]:
+            out[v] = v
+            continue
+        start = min(nbrs[v])
+        ring, cur = [], start
+        while True:
+            ring.append(cur)
+            cur = nxt[v].get(cur)
+            if cur is None or cur == start or len(ring) > len(nbrs[v]):
+                break
+        spiral = [v] + ring
+        seen = set(spiral)
+        frontier = ring
+        while len(spiral) < seq_length and frontier:
+            new = []
+            for u in frontier:
+                for w in sorted(nbrs[u]):
+                    if w not in seen:
+                        seen.add(w)
+                        new.append(w)
+                        spiral.append(w)
+            frontier = new
+        spiral = spiral[:seq_length]
+        while len(spiral) < seq_length:
+            spiral.append(spiral[-1])
+        out[v] = spiral
+    return out
+
+
+def load_spiral_transform(path: str, seq_length=(27, 27, 27), spiral_len: int = None):
+    """Load the reference CMR ``template/transform.pkl``.
+
+    Format (external/cmr/utils.py:16-52): pickle with ``vertices`` (list
+    of per-level vertex arrays), ``face`` (per-level faces),
+    ``up_transform`` (list of scipy-sparse coarse->fine matrices).
+    Returns ``(verts_list, spirals_list, up_mats)`` in the same layout as
+    :func:`build_mesh_hierarchy` (spirals computed from the loaded faces).
+    """
+    import pickle
+
+    with open(path, "rb") as f:
+        tmp = pickle.load(f, encoding="latin1")
+    verts = [np.asarray(v, np.float32) for v in tmp["vertices"]]
+    faces = [np.asarray(fc) for fc in tmp["face"]]
+    up_mats = [_to_dense(u) for u in tmp["up_transform"]]
+    n_levels = min(len(seq_length), len(faces))
+    spirals = [
+        extract_spirals(faces[i], verts[i].shape[0], seq_length[i]) for i in range(n_levels)
+    ]
+    return verts, spirals, up_mats
+
+
 def build_mesh_hierarchy(v_template: np.ndarray, levels=(778, 389, 194, 97), spiral_len: int = 9):
     """Deterministic vertex hierarchy + per-level spiral indices + up matrices.
 
@@ -156,12 +232,22 @@ def create_cmr_model(cfg=None, dtype=jnp.float32):
         else ResNet(arch="resnet18", norm="gn", dtype=dtype)
     )
     mano = ManoLayer(center_idx=0)
-    verts = np.asarray(mano(np.zeros((1, 48), np.float32), np.zeros((1, 10), np.float32)).verts[0])
-    _, spirals, up_mats = build_mesh_hierarchy(verts)
+    transform_path = cfg.get("TRANSFORM_PKL", None) if cfg is not None else None
+    if transform_path:
+        # original reference topology assets (template/transform.pkl)
+        _, spirals, up_mats = load_spiral_transform(transform_path)
+        n_coarse = up_mats[2].shape[1] if len(up_mats) > 2 else up_mats[-1].shape[1]
+    else:
+        verts = np.asarray(
+            mano(np.zeros((1, 48), np.float32), np.zeros((1, 10), np.float32)).verts[0]
+        )
+        _, spirals, up_mats = build_mesh_hierarchy(verts)
+        n_coarse = 97
     model = CMRG(
         backbone=bb,
         spirals=tuple(spirals[:3]),
-        up_mats=tuple(up_mats),
+        up_mats=tuple(up_mats[:3]),
+        n_coarse=n_coarse,
         dtype=dtype,
     )
     return model, {"mano_layer": mano}

@@ -29,6 +29,25 @@ from ..utils.registry import MODEL
 from .bricks.attention import BertFFN, MultiHeadCrossAttention
 
 
+def load_mesh_sampler(path: str):
+    """Load the reference METRO mesh sampler ``mano_downsampling.npz``.
+
+    Format (external/metro/base_model.py:336-344): npz with object arrays
+    ``A`` (adjacency), ``U`` (upsampling), ``D`` (downsampling) holding
+    scipy sparse matrices. Returns dense float32 ``(D0 (n_sub, 778),
+    U0 (778, n_sub))`` — the single-level sampler the reference uses
+    (MeshSampler num_downsampling=1).
+    """
+    data = np.load(path, allow_pickle=True, encoding="latin1")
+
+    def _dense(m):
+        if hasattr(m, "todense"):
+            return np.asarray(m.todense(), dtype=np.float32)
+        return np.asarray(m, dtype=np.float32)
+
+    return _dense(data["D"][0]), _dense(data["U"][0])
+
+
 def synthetic_mesh_sampler(v_template: np.ndarray, n_sub: int = 195, k: int = 3):
     """Deterministic (D (n_sub, 778), U (778, n_sub)) sampling matrices."""
     n = v_template.shape[0]
@@ -185,7 +204,12 @@ def create_metro_model(cfg=None, dtype=jnp.float32):
     out = mano(np.zeros((1, 48), np.float32), np.zeros((1, 10), np.float32))
     joints = np.asarray(out.joints[0])
     verts = np.asarray(out.verts[0])
-    D, U = synthetic_mesh_sampler(verts)
+    sampler_path = cfg.get("MESH_SAMPLER_PATH", None) if cfg is not None else None
+    if sampler_path:
+        # original reference sampling matrices (assets/mano_downsampling.npz)
+        D, U = load_mesh_sampler(sampler_path)
+    else:
+        D, U = synthetic_mesh_sampler(verts)
     verts_sub = D @ verts
 
     model = METRONetwork(

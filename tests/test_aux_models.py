@@ -1,11 +1,14 @@
 """MVP baseline + single-view pose models: forward shapes/finiteness."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from helpers import tiny_batch
 from poem_v2_tpu.utils.config import Config
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
 
 
 def test_mvp_forward():

@@ -8,6 +8,8 @@ import pytest
 from helpers import tiny_batch
 from poem_v2_tpu.utils.config import Config
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
+
 
 def petr_cfg():
     return Config(
@@ -165,3 +167,116 @@ class TestTRv3:
         out = m.apply(v, *args)
         assert out.shape == (2, B, 799, 3)  # metro stage + 1 PT block
         assert np.isfinite(np.asarray(out)).all()
+
+
+# --------------------------------------------------------------------------
+# reference topology asset loaders (CMR transform.pkl / METRO npz)
+# --------------------------------------------------------------------------
+def test_metro_mesh_sampler_loader(tmp_path):
+    """assets/mano_downsampling.npz format: object arrays of scipy sparse
+    A/U/D (reference external/metro/base_model.py:336-344)."""
+    import scipy.sparse as sp
+
+    from poem_v2_tpu.models.metro import load_mesh_sampler
+
+    rs = np.random.RandomState(0)
+    D0 = sp.random(5, 12, density=0.4, random_state=rs, format="coo")
+    U0 = sp.random(12, 5, density=0.4, random_state=rs, format="coo")
+    A0 = sp.eye(12, format="coo")
+    path = tmp_path / "mano_downsampling.npz"
+    np.savez(path,
+             A=np.asarray([A0], dtype=object),
+             U=np.asarray([U0], dtype=object),
+             D=np.asarray([D0], dtype=object))
+
+    D, U = load_mesh_sampler(str(path))
+    assert D.shape == (5, 12) and U.shape == (12, 5)
+    np.testing.assert_allclose(D, np.asarray(D0.todense(), np.float32))
+    np.testing.assert_allclose(U, np.asarray(U0.todense(), np.float32))
+
+
+def test_cmr_spiral_transform_loader(tmp_path):
+    """template/transform.pkl format: vertices/face/up_transform pickle
+    (reference external/cmr/utils.py:16-52); spirals extracted from faces."""
+    import pickle
+
+    import scipy.sparse as sp
+
+    from poem_v2_tpu.models.cmr import extract_spirals, load_spiral_transform
+
+    # tiny two-level mesh hierarchy: an octahedron downsampled to a triangle
+    verts0 = np.asarray(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]], np.float32
+    )
+    faces0 = np.asarray(
+        [[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+         [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]]
+    )
+    verts1 = verts0[:3]
+    faces1 = np.asarray([[0, 1, 2]])
+    up = sp.random(6, 3, density=0.5, random_state=np.random.RandomState(1), format="coo")
+    tmp = {
+        "vertices": [verts0, verts1],
+        "face": [faces0, faces1],
+        "adj": [None, None],
+        "down_transform": [sp.eye(3, 6, format="coo")],
+        "up_transform": [up],
+    }
+    path = tmp_path / "transform.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(tmp, f)
+
+    vs, spirals, ups = load_spiral_transform(str(path), seq_length=(6, 3))
+    assert len(vs) == 2 and len(spirals) == 2 and len(ups) == 1
+    assert spirals[0].shape == (6, 6) and spirals[1].shape == (3, 3)
+    np.testing.assert_allclose(ups[0], np.asarray(up.todense(), np.float32))
+
+    # spiral contract: starts at the vertex itself, then its ordered 1-ring
+    sp0 = extract_spirals(faces0, 6, 6)
+    for v in range(6):
+        assert sp0[v, 0] == v
+        ring = set(sp0[v, 1:5])
+        # octahedron: every vertex has exactly 4 neighbours
+        true_ring = {int(x) for f in faces0 for x in f if v in f} - {v}
+        assert ring == true_ring
+
+
+def test_cmr_model_with_loaded_transform(tmp_path):
+    """CMR builds and runs from a fabricated transform.pkl."""
+    import pickle
+
+    import scipy.sparse as sp
+
+    from poem_v2_tpu.models.cmr import build_mesh_hierarchy, create_cmr_model
+    from poem_v2_tpu.mano import ManoLayer
+    from poem_v2_tpu.utils.config import Config
+
+    # fabricate a pkl from the synthetic hierarchy so shapes are realistic
+    mano = ManoLayer(center_idx=0)
+    verts = np.asarray(mano(jnp.zeros((1, 48)), jnp.zeros((1, 10))).verts[0])
+    vs, spirals, ups = build_mesh_hierarchy(verts)
+    # faces are only needed for spiral extraction: use degenerate fans that
+    # connect each vertex to its two nearest neighbours
+    faces = []
+    for v in vs:
+        d2 = ((v[:, None] - v[None]) ** 2).sum(-1)
+        nn2 = np.argsort(d2, axis=1)[:, 1:3]
+        faces.append(np.stack([np.arange(len(v)), nn2[:, 0], nn2[:, 1]], axis=1))
+    tmp = {
+        "vertices": vs,
+        "face": faces,
+        "adj": [None] * len(vs),
+        "down_transform": [sp.eye(vs[i + 1].shape[0], vs[i].shape[0]) for i in range(len(ups))],
+        "up_transform": [sp.coo_matrix(u) for u in ups],
+    }
+    path = tmp_path / "transform.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(tmp, f)
+
+    cfg = Config({"BACKBONE": {"TYPE": "resnet18", "NORM": "gn"}, "TRANSFORM_PKL": str(path)})
+    model, aux = create_cmr_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    img = jnp.zeros((1, 64, 64, 3))
+    variables = model.init({"params": rng, "dropout": rng}, img)
+    out = model.apply(variables, img)
+    assert out["pred_verts_3d_rel"].shape == (1, 778, 3)

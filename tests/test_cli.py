@@ -2,6 +2,8 @@
 
 import os
 
+pytestmark = pytest.mark.slow  # full CLI epochs; excluded from the smoke tier
+
 import numpy as np
 import pytest
 import yaml

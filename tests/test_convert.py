@@ -1,12 +1,15 @@
 """Torch->JAX converter: mapping fills the flax tree with right shapes."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import torch
 
 from poem_v2_tpu.models.decoder import PtEmbedDecoder
 from poem_v2_tpu.utils.torch_convert import convert_decoder_block
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
 
 
 def fabricate_torch_block(prefix: str, d: int = 64) -> dict:

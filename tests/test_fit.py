@@ -8,6 +8,8 @@ import jax.numpy as jnp
 from poem_v2_tpu.fit import OneFrameFit
 from poem_v2_tpu.mano import ManoLayer, synthetic_mano
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
+
 
 def test_fit_recovers_projected_joints():
     mano = ManoLayer(model=synthetic_mano())

@@ -14,6 +14,8 @@ from poem_v2_tpu.data import MultiviewWebDataset, batch_iterator
 from poem_v2_tpu.models.poem import create_poem_model
 from poem_v2_tpu.training.evaluator import AUCCallback, Evaluator
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
+
 
 def test_full_eval_pipeline(tmp_path):
     shard = make_shard(str(tmp_path / "Test_mv_test-000000.tar"), n_samples=4, img_size=64)

@@ -11,6 +11,8 @@ from poem_v2_tpu.models.poem import create_poem_model
 from poem_v2_tpu.models.heads.ptemb_head import MergeFeaturesMV, generate_bps_basis
 from poem_v2_tpu.models.positional import sine_positional_encoding_3d
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
+
 
 @pytest.fixture(scope="module")
 def model_and_vars():

@@ -1,6 +1,7 @@
 """Pallas kernels: interpret-mode numerics vs pure-XLA reference."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -8,6 +9,8 @@ from poem_v2_tpu.ops.pallas_vector_attn import (
     fused_vector_attention,
     vector_attention_reference,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
 
 
 def test_fused_vector_attention_matches_reference():

@@ -29,6 +29,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
+
 torch = pytest.importorskip("torch")
 
 REF = "/root/reference"

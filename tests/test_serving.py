@@ -1,10 +1,13 @@
 """Serving predictor: bucket padding, compile cache, output contract."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from helpers import TINY_MODEL_CFG, tiny_batch
 from poem_v2_tpu.utils.config import Config
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
 
 
 def test_predictor_end_to_end():

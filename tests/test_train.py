@@ -11,6 +11,8 @@ from poem_v2_tpu.models.poem import create_poem_model
 from poem_v2_tpu.parallel.mesh import create_mesh
 from poem_v2_tpu.training.trainer import Trainer
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
+
 
 @pytest.fixture(scope="module")
 def trainer_state_batch():
