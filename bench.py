@@ -25,7 +25,8 @@ def main():
     parser.add_argument("--batch-size", type=int, default=8, help="0 = auto sweep")
     parser.add_argument("--views", type=int, default=8)
     parser.add_argument("--iters", type=int, default=50)
-    parser.add_argument("--backbone", type=str, default="resnet34")
+    # HRNet-W40 is the reference's release flagship (config/release/*.yaml)
+    parser.add_argument("--backbone", type=str, default="HRNet")
     parser.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
     parser.add_argument(
         "--norm", type=str, default="frozen_bn", choices=["frozen_bn", "gn", "bn"],
@@ -111,6 +112,8 @@ def main():
         "value": round(best, 2),
         "unit": "frames/s",
         "vs_baseline": round(best / 500.0, 4),
+        "config": f"{args.backbone} bf16 batch{args.batch_size or 'auto'} "
+                  f"{args.views}view 4096bps 3blocks 256d",
     }
     print(json.dumps(result))
 

@@ -29,6 +29,34 @@ from ...ops.pallas_vector_attn import fused_vector_attention, vector_attention_r
 from ...ops.points import index_points, knn_points
 
 
+class RawDense(nn.Module):
+    """Bias-free dense with the same param tree as ``nn.Dense`` — exposes
+    the kernel matrix so the fused KNN-attention kernel can consume it
+    (setup-style: multiple methods callable on one instance)."""
+
+    d_in: int
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.d_in, self.features)
+        )
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return x @ self.kernel.astype(self.dtype)
+
+    def matrix(self) -> jnp.ndarray:
+        return self.kernel.astype(self.dtype)
+
+
+def _fused_block_config(n_points: int):
+    """(block_q, chunk_j) by cloud size: small clouds afford one big query
+    block (chunk 8 stays under the 16 MB scoped-vmem limit inside the
+    full model graph); the 4096-point BPS cloud is VMEM-bound at 32."""
+    return (128, 8) if n_points <= 1024 else (32, 8)
+
+
 def _mlp_params(module: nn.Module, name: str, d_in: int, d_model: int):
     """Two-layer MLP parameters (Dense -> relu -> Dense), declared raw so
     the fused kernel and the XLA path share them."""
@@ -55,6 +83,7 @@ class PtSelfAttnBlock(nn.Module):
     k: int
     approx_knn: bool = True  # TPU approx_max_k: ~4x faster top-k, recall ~0.95
     use_fused: bool = False  # Pallas fused attention core (eval path)
+    use_fused_knn: bool = False  # Pallas fused KNN+gather+attention (eval)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -68,8 +97,23 @@ class PtSelfAttnBlock(nn.Module):
         pre = features
         x = nn.Dense(self.d_model, dtype=self.dtype, name="fc1")(features)
         q = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_qs")(x)
-        w_ks = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_ks")
-        w_vs = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_vs")
+        w_ks = RawDense(self.d_model, self.d_model, dtype=self.dtype, name="w_ks")
+        w_vs = RawDense(self.d_model, self.d_model, dtype=self.dtype, name="w_vs")
+
+        fc_delta = _mlp_params(self, "fc_delta", 3, self.d_model)
+        fc_gamma = _mlp_params(self, "fc_gamma", self.d_model, self.d_model)
+
+        if self.use_fused_knn and anchor_idx is None:
+            from ...ops.pallas_knn_attn import fused_knn_vector_attention
+
+            bq, cj = _fused_block_config(xyz.shape[1])
+            res = fused_knn_vector_attention(
+                q, xyz, xyz, x, w_ks.matrix(), w_vs.matrix(),
+                tuple(p.astype(self.dtype) for p in fc_delta),
+                tuple(p.astype(self.dtype) for p in fc_gamma),
+                n_neighbor=self.k, block_q=bq, chunk_j=cj,
+            )
+            return nn.Dense(self.d_points, dtype=self.dtype, name="fc2")(res) + pre
 
         if anchor_idx is not None:
             ks, vs = w_ks(x), w_vs(x)
@@ -96,8 +140,6 @@ class PtSelfAttnBlock(nn.Module):
             k_g = w_ks(x_g)
             v_g = w_vs(x_g)
 
-        fc_delta = _mlp_params(self, "fc_delta", 3, self.d_model)
-        fc_gamma = _mlp_params(self, "fc_gamma", self.d_model, self.d_model)
         delta = xyz[:, :, None] - local_xyz
         res = _run_vector_attention(q, k_g, v_g, delta, fc_delta, fc_gamma, self.use_fused, self.dtype)
         return nn.Dense(self.d_points, dtype=self.dtype, name="fc2")(res) + pre
@@ -111,6 +153,7 @@ class PtCrossAttnBlock(nn.Module):
     k: int
     approx_knn: bool = True
     use_fused: bool = False
+    use_fused_knn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -127,8 +170,23 @@ class PtCrossAttnBlock(nn.Module):
         q = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_qs")(query_feat)
 
         x_full = nn.Dense(self.d_model, dtype=self.dtype, name="fc1")(features)
-        w_ks = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_ks")
-        w_vs = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_vs")
+        w_ks = RawDense(self.d_model, self.d_model, dtype=self.dtype, name="w_ks")
+        w_vs = RawDense(self.d_model, self.d_model, dtype=self.dtype, name="w_vs")
+
+        fc_delta = _mlp_params(self, "fc_delta", 3, self.d_model)
+        fc_gamma = _mlp_params(self, "fc_gamma", self.d_model, self.d_model)
+
+        if self.use_fused_knn and anchor_idx is None:
+            from ...ops.pallas_knn_attn import fused_knn_vector_attention
+
+            bq, cj = _fused_block_config(xyz.shape[1])
+            res = fused_knn_vector_attention(
+                q, query_xyz, xyz, x_full, w_ks.matrix(), w_vs.matrix(),
+                tuple(p.astype(self.dtype) for p in fc_delta),
+                tuple(p.astype(self.dtype) for p in fc_gamma),
+                n_neighbor=self.k, block_q=bq, chunk_j=cj,
+            )
+            return nn.Dense(self.d_points, dtype=self.dtype, name="fc2")(res) + pre
 
         if anchor_idx is not None:
             B, M = xyz.shape[0], query_xyz.shape[1]
@@ -149,8 +207,6 @@ class PtCrossAttnBlock(nn.Module):
             k_g = w_ks(x_g)
             v_g = w_vs(x_g)
 
-        fc_delta = _mlp_params(self, "fc_delta", 3, self.d_model)
-        fc_gamma = _mlp_params(self, "fc_gamma", self.d_model, self.d_model)
         delta = query_xyz[:, :, None] - local_xyz
         res = _run_vector_attention(q, k_g, v_g, delta, fc_delta, fc_gamma, self.use_fused, self.dtype)
         return nn.Dense(self.d_points, dtype=self.dtype, name="fc2")(res) + pre

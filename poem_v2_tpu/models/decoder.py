@@ -47,6 +47,7 @@ class PointerLayer(nn.Module):
     init_block: bool
     approx_knn: bool = True
     use_fused: bool = False
+    use_fused_knn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -70,6 +71,7 @@ class PointerLayer(nn.Module):
             k=self.n_neighbor_query,
             approx_knn=self.approx_knn,
             use_fused=self.use_fused,
+            use_fused_knn=self.use_fused_knn,
             dtype=self.dtype,
             name="query_self_attn",
         )(query_xyz, query_feat, anchor_idx=self_anchors, anchor_xyz=a_xyz)
@@ -80,6 +82,7 @@ class PointerLayer(nn.Module):
             k=self.n_neighbor,
             approx_knn=self.approx_knn,
             use_fused=self.use_fused,
+            use_fused_knn=self.use_fused_knn,
             dtype=self.dtype,
             name="query_cross_attn",
         )(pt_xyz, pt_feats, query_xyz, query_feat, anchor_idx=cross_anchors, anchor_xyz=a_xyz)
@@ -101,6 +104,7 @@ class PointMetroBlock(nn.Module):
     parametric_output: bool = False
     deterministic: bool = True
     approx_knn: bool = True
+    use_fused_knn: bool = False
     use_flash: bool = False
     use_flash_train: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -139,6 +143,7 @@ class PointMetroBlock(nn.Module):
             n_neighbor_query=self.n_neighbor_query,
             init_block=self.init_block,
             approx_knn=self.approx_knn,
+            use_fused_knn=self.use_fused_knn and self.deterministic,
             use_fused=False,  # measured slower than the XLA fusion at POEM sizes
             dtype=self.dtype,
             name="vec_attn",
@@ -178,6 +183,7 @@ class PtEmbedDecoder(nn.Module):
     parametric_output: bool = False
     remat: bool = True
     approx_knn: bool = True
+    use_fused_knn: bool = False
     use_flash: bool = False
     use_flash_train: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -223,6 +229,7 @@ class PtEmbedDecoder(nn.Module):
                 parametric_output=self.parametric_output,
                 deterministic=deterministic,
                 approx_knn=self.approx_knn,
+                use_fused_knn=self.use_fused_knn,
                 use_flash=self.use_flash,
                 use_flash_train=self.use_flash_train,
                 dtype=self.dtype,

@@ -115,6 +115,7 @@ class POEMGeneralizedHead(nn.Module):
     # encodings and the shared idx for feature gathers, as the reference does.
     anchor_xyz: Optional[np.ndarray] = None  # (32, 3)
     approx_knn: bool = True  # False = exact lax.top_k KNN (checkpoint parity)
+    use_fused_knn: bool = False  # Pallas fused exact-KNN attention (TPU eval)
     mano_layer: Optional[object] = None  # ManoLayer for parametric output
     n_blocks: int = 3
     num_heads: int = 4
@@ -231,6 +232,7 @@ class POEMGeneralizedHead(nn.Module):
             n_neighbor_query=self.n_neighbor_query,
             parametric_output=self.parametric_output,
             approx_knn=self.approx_knn,
+            use_fused_knn=self.use_fused_knn,
             use_flash=self.use_flash,
             use_flash_train=self.use_flash_train,
             remat=self.remat,

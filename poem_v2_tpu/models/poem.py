@@ -271,6 +271,7 @@ def create_poem_model(
         pt_anchor_idx=np.asarray(pt_anchor_idx),
         anchor_xyz=anchor_xyz,
         approx_knn=not exact_knn,
+        use_fused_knn=use_flash,  # same condition: Pallas lowers on real TPUs
         mano_layer=mano_layer if parametric else None,
         n_blocks=tr_cfg.N_BLOCKS,
         num_heads=tr_cfg.NUM_ATTENTION_HEADS,

@@ -46,7 +46,8 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(
     q_ref,        # (1, BQ, D)   w_qs(query_feat) block
     qxyz_ref,     # (1, BQ, 3)   f32
-    ptxyz_ref,    # (1, N, 3)    f32 (padded rows pushed far away)
+    ptxyz_ref,    # (1, 3, N)    f32, TRANSPOSED — (N, 3) would pad its
+                  #              lane dim to 128 (16x the VMEM footprint)
     x_full_ref,   # (1, N, D)    fc1 activations of the cloud
     wk_ref,       # (D, D)
     wv_ref,       # (D, D)
@@ -54,103 +55,119 @@ def _kernel(
     g0_ref, c0_ref, g1_ref, c1_ref,   # fc_gamma
     out_ref,      # (1, BQ, D)
     oh_ref,       # scratch (CJ * BQ, N) one-hot chunk
-    xg_ref,       # scratch (K * BQ, D) gathered cloud activations, f32
-    nn_ref,       # scratch (K * BQ, 3) gathered coordinates, f32
     *,
     n_neighbor: int,
     chunk_j: int,
 ):
+    """Flash-style over the K axis: each CJ-neighbour chunk is gathered,
+    projected and scored, then folded into online per-channel softmax
+    accumulators — nothing K-sized stays live in VMEM."""
     K = n_neighbor
     CJ = chunk_j
     BQ = q_ref.shape[1]
-    N = ptxyz_ref.shape[1]
+    N = ptxyz_ref.shape[2]
     D = q_ref.shape[2]
     f32 = jnp.float32
 
     qxyz = qxyz_ref[0].astype(f32)          # (BQ, 3)
-    ptxyz = ptxyz_ref[0].astype(f32)        # (N, 3)
+    ptxyz_t = ptxyz_ref[0].astype(f32)      # (3, N)
     x_full = x_full_ref[0]                  # (N, D)
+    cdt = q_ref.dtype
+    q = q_ref[0].astype(f32)                # (BQ, D)
 
     # pairwise squared distances (BQ, N) on the MXU
     cross = jax.lax.dot_general(
-        qxyz, ptxyz, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        qxyz, ptxyz_t, (((1,), (0,)), ((), ())), preferred_element_type=f32
     )
     d2 = (
         jnp.sum(qxyz * qxyz, axis=1, keepdims=True)
-        + jnp.sum(ptxyz * ptxyz, axis=1)[None, :]
+        + jnp.sum(ptxyz_t * ptxyz_t, axis=0)[None, :]
         - 2.0 * cross
     )
 
     col = jax.lax.broadcasted_iota(jnp.int32, (BQ, N), 1)
+    inv_sqrt_d = 1.0 / jnp.sqrt(f32(D))
 
-    # exact top-K: K rounds of (min, first-index-of-min, mask); the
-    # per-round one-hots buffer in chunks of CJ neighbours, each chunk
-    # immediately contracted against the cloud (gather-as-matmul)
-    for c in range(K // CJ):
+    def chunk_body(c, carry):
+        d2, m_acc, s_acc, o_acc = carry
+        # exact next-CJ nearest: rounds of (min, first-index-of-min, mask)
         for jj in range(CJ):
             m = jnp.min(d2, axis=1, keepdims=True)                 # (BQ, 1)
             idx_j = jnp.min(jnp.where(d2 <= m, col, N), axis=1)    # (BQ,)
             hit = col == idx_j[:, None]                            # (BQ, N)
-            # neighbour-major layout: row j * BQ + q <-> neighbour j of q
+            # neighbour-major layout: row jj * BQ + q <-> neighbour jj
             oh_ref[pl.ds(jj * BQ, BQ)] = hit.astype(oh_ref.dtype)
             d2 = jnp.where(hit, jnp.inf, d2)
         ohc = oh_ref[...]                                          # (CJ*BQ, N)
-        xg_ref[pl.ds(c * CJ * BQ, CJ * BQ)] = jax.lax.dot_general(
+
+        # gather-as-matmul against the VMEM-resident cloud
+        x_g = jax.lax.dot_general(
             ohc, x_full.astype(ohc.dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=f32,
-        )
-        nn_ref[pl.ds(c * CJ * BQ, CJ * BQ)] = jax.lax.dot_general(
-            ohc, ptxyz.astype(ohc.dtype),
+        )  # (CJ*BQ, D)
+        nn = jax.lax.dot_general(
+            ohc, ptxyz_t.astype(ohc.dtype),
+            (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        )  # (CJ*BQ, 3)
+
+        k_g = jax.lax.dot_general(
+            x_g.astype(cdt), wk_ref[...].astype(cdt),
             (((1,), (0,)), ((), ())), preferred_element_type=f32,
         )
-
-    cdt = q_ref.dtype
-    x_g = xg_ref[...]                                              # (K*BQ, D)
-    k_g = jax.lax.dot_general(
-        x_g.astype(cdt), wk_ref[...].astype(cdt),
-        (((1,), (0,)), ((), ())), preferred_element_type=f32,
-    )
-    v_g = jax.lax.dot_general(
-        x_g.astype(cdt), wv_ref[...].astype(cdt),
-        (((1,), (0,)), ((), ())), preferred_element_type=f32,
-    )
-
-    # fc_delta position MLP on (K*BQ, 3) offsets
-    delta = jnp.tile(qxyz, (K, 1)) - nn_ref[...]
-    t1 = jnp.maximum(
-        jax.lax.dot_general(
-            delta.astype(cdt), w1_ref[...].astype(cdt),
+        v_g = jax.lax.dot_general(
+            x_g.astype(cdt), wv_ref[...].astype(cdt),
             (((1,), (0,)), ((), ())), preferred_element_type=f32,
-        ) + b1_ref[...].astype(f32),
-        0.0,
-    )
-    pos = jax.lax.dot_general(
-        t1.astype(cdt), w2_ref[...].astype(cdt),
-        (((1,), (0,)), ((), ())), preferred_element_type=f32,
-    ) + b2_ref[...].astype(f32)                                    # (K*BQ, D)
+        )
 
-    # fc_gamma scoring on q - k + pos
-    q = q_ref[0].astype(f32)                                       # (BQ, D)
-    x = jnp.tile(q, (K, 1)) - k_g + pos
-    h = jnp.maximum(
-        jax.lax.dot_general(
-            x.astype(cdt), g0_ref[...].astype(cdt),
+        delta = jnp.tile(qxyz, (CJ, 1)) - nn
+        t1 = jnp.maximum(
+            jax.lax.dot_general(
+                delta.astype(cdt), w1_ref[...].astype(cdt),
+                (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            ) + b1_ref[...].astype(f32),
+            0.0,
+        )
+        pos = jax.lax.dot_general(
+            t1.astype(cdt), w2_ref[...].astype(cdt),
             (((1,), (0,)), ((), ())), preferred_element_type=f32,
-        ) + c0_ref[...].astype(f32),
-        0.0,
-    )
-    g = jax.lax.dot_general(
-        h.astype(cdt), g1_ref[...].astype(cdt),
-        (((1,), (0,)), ((), ())), preferred_element_type=f32,
-    ) + c1_ref[...].astype(f32)                                    # (K*BQ, D)
+        ) + b2_ref[...].astype(f32)                                # (CJ*BQ, D)
 
-    # per-channel softmax over the K axis + weighted aggregation
-    g = g.reshape(K, BQ, D) / jnp.sqrt(f32(D))
-    g = g - jnp.max(g, axis=0, keepdims=True)
-    e = jnp.exp(g)
-    attn = e / jnp.sum(e, axis=0, keepdims=True)
-    v = v_g.reshape(K, BQ, D) + pos.reshape(K, BQ, D)
-    out_ref[0] = jnp.sum(attn * v, axis=0).astype(out_ref.dtype)
+        x = jnp.tile(q, (CJ, 1)) - k_g + pos
+        h = jnp.maximum(
+            jax.lax.dot_general(
+                x.astype(cdt), g0_ref[...].astype(cdt),
+                (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            ) + c0_ref[...].astype(f32),
+            0.0,
+        )
+        g = jax.lax.dot_general(
+            h.astype(cdt), g1_ref[...].astype(cdt),
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        ) + c1_ref[...].astype(f32)                                # (CJ*BQ, D)
+
+        g = g.reshape(CJ, BQ, D) * inv_sqrt_d
+        v = v_g.reshape(CJ, BQ, D) + pos.reshape(CJ, BQ, D)
+
+        # fold the chunk into the online softmax state
+        m_new = jnp.maximum(m_acc, jnp.max(g, axis=0))             # (BQ, D)
+        scale = jnp.exp(m_acc - m_new)
+        e = jnp.exp(g - m_new[None])                               # (CJ, BQ, D)
+        s_acc = s_acc * scale + jnp.sum(e, axis=0)
+        o_acc = o_acc * scale + jnp.sum(e * v, axis=0)
+        return d2, m_new, s_acc, o_acc
+
+    # fori_loop (not an unrolled Python loop) so the compiler reuses one
+    # d2/accumulator buffer set across chunks instead of keeping K live
+    # (BQ, N) versions of the masked distance matrix
+    init = (
+        d2,
+        jnp.full((BQ, D), -jnp.inf, f32),
+        jnp.zeros((BQ, D), f32),
+        jnp.zeros((BQ, D), f32),
+    )
+    _, m_acc, s_acc, o_acc = jax.lax.fori_loop(0, K // CJ, chunk_body, init)
+
+    out_ref[0] = (o_acc / s_acc).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -166,8 +183,8 @@ def fused_knn_vector_attention(
     fc_delta: Tuple[jnp.ndarray, ...],  # (w1 (3, D), b1, w2 (D, D), b2)
     fc_gamma: Tuple[jnp.ndarray, ...],  # (g0 (D, D), c0, g1 (D, D), c1)
     n_neighbor: int = 32,
-    block_q: int = 32,
-    chunk_j: int = 8,
+    block_q: int = 128,
+    chunk_j: int = 4,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused pointer-stage attention; returns (B, M, D) like
@@ -200,7 +217,7 @@ def fused_knn_vector_attention(
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, 3), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Np, 3), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, Np), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Np, D), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -217,10 +234,9 @@ def fused_knn_vector_attention(
         out_shape=jax.ShapeDtypeStruct((B, Mp, D), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((chunk_j * block_q, Np), q.dtype),
-            pltpu.VMEM((K * block_q, D), jnp.float32),
-            pltpu.VMEM((K * block_q, 3), jnp.float32),
         ],
         interpret=interpret,
-    )(q, query_xyz.astype(jnp.float32), pt_xyz.astype(jnp.float32), x_full,
+    )(q, query_xyz.astype(jnp.float32),
+      jnp.swapaxes(pt_xyz.astype(jnp.float32), 1, 2), x_full,
       wk, wv, w1, b1, w2, b2, g0, c0, g1, c1)
     return out[:, :M]

@@ -173,7 +173,7 @@ def main():
         dec = PtEmbedDecoder(
             n_blocks=3, hidden_size=256, num_heads=4,
             n_neighbor=32, n_neighbor_query=32, use_flash=True,
-            approx_knn=True, dtype=dtype,
+            approx_knn=True, use_fused_knn=True, dtype=dtype,
         )
         qx = jax.random.normal(rng, (B, 799, 3))
         qf = jax.random.normal(rng, (B, 799, 256), dtype=dtype)

@@ -166,6 +166,8 @@ def ref_modules():
         _stub_module("lib.models.layers.petr_transformer", SinePositionalEncoding3D=object)
         _stub_module("lib.models.bricks.transformer", build_transformer=lambda *a, **k: None)
 
+        _stub_module("lib.utils.net_utils", xavier_init=lambda *a, **k: None)
+
         pt = _load_ref_module(
             "lib.models.bricks.point_transformers",
             "lib/models/bricks/point_transformers.py",
@@ -175,10 +177,20 @@ def ref_modules():
             "lib.models.bricks.pt_metro_transformer",
             "lib/models/bricks/pt_metro_transformer.py",
         )
+        sys.modules["lib.models.bricks"].pt_metro_transformer = pmt
+        metro = _load_ref_module(
+            "lib.models.bricks.metro_transformer",
+            "lib/models/bricks/metro_transformer.py",
+        )
+        sys.modules["lib.models.bricks"].metro_transformer = metro
+        tr = _load_ref_module(
+            "lib.models.layers.ptEmb_transformer",
+            "lib/models/layers/ptEmb_transformer.py",
+        )
         head_mod = _load_ref_module(
             "lib.models.heads.ptEmb_head", "lib/models/heads/ptEmb_head.py"
         )
-        yield {"pt": pt, "pmt": pmt, "head": head_mod}
+        yield {"pt": pt, "pmt": pmt, "head": head_mod, "tr": tr}
     finally:
         for k in list(sys.modules):
             if k not in saved:
@@ -409,3 +421,80 @@ def test_merge_features_sv_parity(ref_modules):  # noqa: D103
     j_out = module.apply({"params": tree["merge_feature"]}, jnp.asarray(feats),
                          jnp.asarray(view_mask))
     np.testing.assert_allclose(np.asarray(j_out)[0], ref_out, atol=1e-5, rtol=1e-4)
+
+
+def test_full_decoder_stack_parity(ref_modules, tmp_path, monkeypatch):
+    """The reference PtEmbedTRv4 (3 blocks, real anchor assets, BertConfig
+    built from config/backbone/bert_cfg.json) vs the flax PtEmbedDecoder
+    with every block's weights converted — stacked per-block coordinates
+    must agree."""
+    import jax
+    import jax.numpy as jnp
+
+    from poem_v2_tpu.models.decoder import PtEmbedDecoder
+    from poem_v2_tpu.utils.torch_convert import convert_decoder_block
+
+    # reference-relative paths: config/backbone/bert_cfg.json (read-only
+    # symlink) + assets/anchor*.npy (our verbatim copies)
+    os.symlink(os.path.join(REF, "config"), tmp_path / "config")
+    os.symlink(ASSETS, tmp_path / "assets")
+    monkeypatch.chdir(tmp_path)
+
+    hidden, heads, K, n_blocks = 64, 4, 8, 3
+    B, M, N = 2, 799, 799  # N=799: mask broadcast under transformers>=4.57
+
+    from poem_v2_tpu.utils.config import Config
+
+    cfg = Config({
+        "INPUT_FEAT_DIM": hidden, "DROPOUT": 0.1, "NUM_HIDDEN_LAYERS": 4,
+        "NUM_ATTENTION_HEADS": heads, "BPS_FEAT_DIM": N, "N_NEIGHBOR": K,
+        "N_NEIGHBOR_QUERY": K, "N_BLOCKS": n_blocks,
+    })
+    torch.manual_seed(0)
+    ref_dec = ref_modules["tr"].PtEmbedTRv4(cfg)
+    ref_dec.eval()
+
+    rs = np.random.RandomState(11)
+    query_xyz = rs.randn(B, M, 3).astype(np.float32) * 0.5
+    query_feat = rs.randn(B, M, hidden).astype(np.float32)
+    pt_xyz = rs.randn(B, N, 3).astype(np.float32) * 0.5
+    pt_feats = rs.randn(B, N, hidden).astype(np.float32)
+
+    with torch.no_grad():
+        t_coords, _, _ = ref_dec(
+            torch.from_numpy(query_xyz), torch.from_numpy(query_feat),
+            torch.from_numpy(pt_xyz), torch.from_numpy(pt_feats),
+        )
+
+    state = {"ptEmb_head.transformer." + k: v for k, v in ref_dec.state_dict().items()}
+    anchor_idx = np.load(os.path.join(ASSETS, "anchor_idx.npy")).reshape(-1).astype(np.int32)
+    anchor_xyz = np.load(os.path.join(ASSETS, "anchor.npy")).reshape(-1, 3)
+
+    dec = PtEmbedDecoder(
+        n_blocks=n_blocks, hidden_size=hidden, num_heads=heads,
+        n_neighbor=K, n_neighbor_query=K, approx_knn=False,
+    )
+    kw = dict(
+        query_anchor_idx=jnp.asarray(anchor_idx),
+        pt_anchor_idx=jnp.asarray(anchor_idx),
+        anchor_xyz=jnp.asarray(anchor_xyz),
+    )
+    variables = dec.init(
+        jax.random.PRNGKey(0), jnp.asarray(query_xyz), jnp.asarray(query_feat),
+        jnp.asarray(pt_xyz), jnp.asarray(pt_feats), **kw,
+    )
+    params = jax.tree.map(np.asarray, variables["params"])
+    tree = {"transformer": params}
+    for i in range(n_blocks):
+        convert_decoder_block(
+            state, f"ptEmb_head.transformer.pt_metro_encoder.{i}.", tree["transformer"],
+            f"block_{i}",
+        )
+    coords, _, _ = dec.apply(
+        {"params": tree["transformer"]}, jnp.asarray(query_xyz), jnp.asarray(query_feat),
+        jnp.asarray(pt_xyz), jnp.asarray(pt_feats), **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(coords), t_coords.numpy(), atol=1e-4, rtol=1e-3,
+        err_msg="3-block decoder stack diverged from the torch reference",
+    )
