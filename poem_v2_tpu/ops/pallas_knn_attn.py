@@ -235,6 +235,11 @@ def fused_knn_vector_attention(
         scratch_shapes=[
             pltpu.VMEM((chunk_j * block_q, Np), q.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # v5e has headroom above the 16 MB default scoped-vmem limit;
+            # bigger query blocks cut the serial arg-min rounds per point
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(q, query_xyz.astype(jnp.float32),
       jnp.swapaxes(pt_xyz.astype(jnp.float32), 1, 2), x_full,
