@@ -2,11 +2,11 @@
 
 import os
 
-pytestmark = pytest.mark.slow  # full CLI epochs; excluded from the smoke tier
-
 import numpy as np
 import pytest
 import yaml
+
+pytestmark = pytest.mark.slow  # full CLI epochs; excluded from the smoke tier
 
 cv2 = pytest.importorskip("cv2")
 
