@@ -66,14 +66,22 @@ def main():
         )
         batch = {k: jnp.asarray(v) for k, v in ds.sample_batch().items()}
         rng = jax.random.PRNGKey(0)
-        variables = model.init(
-            {"params": rng, "noise": rng, "dropout": rng},
-            batch["image"],
-            batch["view_mask"],
-            batch["cam_intr"],
-            batch["cam_extr"],
-            batch["master_joints_3d"],
-            train=False,
+        # fabricate params host-side from eval_shape: the tunneled TPU
+        # dispatches init eagerly (minutes); values don't affect timing
+        shapes = jax.eval_shape(
+            lambda: model.init(
+                {"params": rng, "noise": rng, "dropout": rng},
+                batch["image"],
+                batch["view_mask"],
+                batch["cam_intr"],
+                batch["cam_extr"],
+                batch["master_joints_3d"],
+                train=False,
+            )
+        )
+        rs = np.random.RandomState(0)
+        variables = jax.tree_util.tree_map(
+            lambda s: jnp.asarray(rs.normal(0, 0.02, s.shape).astype(s.dtype)), shapes
         )
 
         @jax.jit
