@@ -121,7 +121,17 @@ class MultiHeadCrossAttention(nn.Module):
             and (deterministic or self.use_flash_train)
             and kv_mask is None
         )
-        if use_flash:
+        if use_flash and deterministic:
+            # eval: dense one-program-per-batch kernel — at POEM shapes
+            # (896q x 4096kv x hd64) Q/K/V and the f32 logits all fit VMEM,
+            # measured ~4x faster than the streaming flash library kernel
+            from ...ops.pallas_cross_attn import dense_cross_attention
+
+            ctx = dense_cross_attention(
+                q.reshape(B, Q, h), k.reshape(B, N, h), v.reshape(B, N, h),
+                num_heads=nh, sm_scale=1.0 / float(hd) ** 0.5,
+            ).astype(self.dtype)
+        elif use_flash:
             ctx = _flash_cross_attention(q, k, v, sm_scale=1.0 / float(hd) ** 0.5)
             ctx = ctx.reshape(B, Q, h).astype(self.dtype)
         else:

@@ -116,7 +116,6 @@ class PtSelfAttnBlock(nn.Module):
             return nn.Dense(self.d_points, dtype=self.dtype, name="fc2")(res) + pre
 
         if anchor_idx is not None:
-            ks, vs = w_ks(x), w_vs(x)
             # fixed shared anchors: every point attends to the same subset.
             # ``anchor_xyz`` reproduces the reference exactly: the loaded
             # assets/anchor.npy coords feed the position encoding while
@@ -124,10 +123,24 @@ class PtSelfAttnBlock(nn.Module):
             # 75-79 — xyz and idx come from the file, not the live cloud).
             B, M = xyz.shape[0], xyz.shape[1]
             A = anchor_idx.shape[0]
-            if anchor_xyz is not None:
-                local_xyz = jnp.broadcast_to(anchor_xyz[None, None], (B, M, A, 3))
-            else:
-                local_xyz = jnp.broadcast_to(xyz[:, anchor_idx][:, None], (B, M, A, 3))
+            a_xyz = (
+                jnp.broadcast_to(anchor_xyz[None], (B, A, 3))
+                if anchor_xyz is not None else xyz[:, anchor_idx]
+            )
+            if self.use_fused_knn:
+                # project only the A anchor rows, then one fused kernel —
+                # the XLA path materializes ~8 (B, M, A, D) HBM tensors
+                from ...ops.pallas_knn_attn import fused_anchor_vector_attention
+
+                x_a = x[:, anchor_idx]
+                res = fused_anchor_vector_attention(
+                    q, xyz, w_ks(x_a), w_vs(x_a), a_xyz,
+                    tuple(p.astype(self.dtype) for p in fc_delta),
+                    tuple(p.astype(self.dtype) for p in fc_gamma),
+                )
+                return nn.Dense(self.d_points, dtype=self.dtype, name="fc2")(res) + pre
+            ks, vs = w_ks(x), w_vs(x)
+            local_xyz = jnp.broadcast_to(a_xyz[:, None], (B, M, A, 3))
             k_g = jnp.broadcast_to(ks[:, anchor_idx][:, None], (B, M) + (anchor_idx.shape[0], self.d_model))
             v_g = jnp.broadcast_to(vs[:, anchor_idx][:, None], (B, M) + (anchor_idx.shape[0], self.d_model))
         else:
@@ -191,10 +204,21 @@ class PtCrossAttnBlock(nn.Module):
         if anchor_idx is not None:
             B, M = xyz.shape[0], query_xyz.shape[1]
             A = anchor_idx.shape[0]
-            if anchor_xyz is not None:
-                local_xyz = jnp.broadcast_to(anchor_xyz[None, None], (B, M, A, 3))
-            else:
-                local_xyz = jnp.broadcast_to(xyz[:, anchor_idx][:, None], (B, M, A, 3))
+            a_xyz = (
+                jnp.broadcast_to(anchor_xyz[None], (B, A, 3))
+                if anchor_xyz is not None else xyz[:, anchor_idx]
+            )
+            if self.use_fused_knn:
+                from ...ops.pallas_knn_attn import fused_anchor_vector_attention
+
+                x_a = x_full[:, anchor_idx]
+                res = fused_anchor_vector_attention(
+                    q, query_xyz, w_ks(x_a), w_vs(x_a), a_xyz,
+                    tuple(p.astype(self.dtype) for p in fc_delta),
+                    tuple(p.astype(self.dtype) for p in fc_gamma),
+                )
+                return nn.Dense(self.d_points, dtype=self.dtype, name="fc2")(res) + pre
+            local_xyz = jnp.broadcast_to(a_xyz[:, None], (B, M, A, 3))
             k_full, v_full = w_ks(x_full), w_vs(x_full)
             k_g = jnp.broadcast_to(k_full[:, anchor_idx][:, None], (B, M, A, self.d_model))
             v_g = jnp.broadcast_to(v_full[:, anchor_idx][:, None], (B, M, A, self.d_model))

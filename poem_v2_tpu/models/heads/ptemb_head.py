@@ -116,6 +116,7 @@ class POEMGeneralizedHead(nn.Module):
     anchor_xyz: Optional[np.ndarray] = None  # (32, 3)
     approx_knn: bool = True  # False = exact lax.top_k KNN (checkpoint parity)
     use_fused_knn: bool = False  # Pallas fused exact-KNN attention (TPU eval)
+    use_fused_sampling: bool = False  # Pallas separable bilinear BPS sampler (TPU)
     mano_layer: Optional[object] = None  # ManoLayer for parametric output
     n_blocks: int = 3
     num_heads: int = 4
@@ -163,11 +164,22 @@ class POEMGeneralizedHead(nn.Module):
         proj = project_world_to_pixel(bps_world, cam_extr.astype(f32), cam_intr.astype(f32))
         grid = pixel_to_grid(proj, inp_res)  # (B, V, N, 2) in [-1, 1]
 
-        # bilinear gather as one MXU matmul (see ops/sampling.py) — the
-        # 4-tap dynamic gather is ~6x slower on TPU at these sizes
-        feats_flat = grid_sample_points_matmul(
-            x.reshape(B * V, H, W, self.embed_dims), grid.reshape(B * V, self.nsample, 2).astype(x.dtype)
-        )  # (B*V, N, C)
+        # bilinear gather as MXU matmuls (see ops/sampling.py) — the 4-tap
+        # dynamic gather is ~6x slower on TPU at these sizes. The fused
+        # Pallas variant builds the interpolation weights separably in VMEM
+        # (never in HBM) and keeps the grid in f32.
+        if self.use_fused_sampling:
+            from ...ops.pallas_bilinear import grid_sample_points_fused
+
+            feats_flat = grid_sample_points_fused(
+                x.reshape(B * V, H, W, self.embed_dims),
+                grid.reshape(B * V, self.nsample, 2).astype(jnp.float32),
+            )
+        else:
+            feats_flat = grid_sample_points_matmul(
+                x.reshape(B * V, H, W, self.embed_dims),
+                grid.reshape(B * V, self.nsample, 2).astype(x.dtype),
+            )  # (B*V, N, C)
         bps_feats = feats_flat.reshape(B, V, self.nsample, self.embed_dims)
 
         merged = MergeFeaturesMV(self.embed_dims, dtype=self.dtype, name="merge_feature")(

@@ -272,6 +272,7 @@ def create_poem_model(
         anchor_xyz=anchor_xyz,
         approx_knn=not exact_knn,
         use_fused_knn=use_flash,  # same condition: Pallas lowers on real TPUs
+        use_fused_sampling=use_flash,
         mano_layer=mano_layer if parametric else None,
         n_blocks=tr_cfg.N_BLOCKS,
         num_heads=tr_cfg.NUM_ATTENTION_HEADS,

@@ -1,0 +1,107 @@
+"""Dense multi-head cross-attention kernel for POEM decoder shapes.
+
+The generic Pallas flash-attention library kernel costs ~2.1 ms per
+attention at the decoder's shape (B8, 4 heads, 896 padded queries, 4096
+keys, head_dim 64) — 6 attentions/forward make it the decoder's largest
+single cost. At these sizes nothing needs streaming: Q/K/V/out for ONE
+batch element total ~5 MB and the f32 logits tile (896 x 4096, 14.7 MB)
+fits scoped VMEM, so a one-program-per-batch dense kernel with the
+softmax kept on-chip beats flash streaming by a wide margin.
+
+Heads are unrolled inside the program as static 64-wide slices; the
+logits scratch is reused across heads. Forward-only (eval path) — the
+training path keeps the XLA einsum attention whose autodiff matches the
+reference BertSelfAttention (attention-prob dropout included).
+
+Replaces: HF BertSelfAttention softmax(QK^T/sqrt(d))V at eval
+(reference lib/models/bricks/pt_metro_transformer.py:58-76).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(
+    q_ref, kt_ref, v_ref, out_ref, logits_ref,
+    *, num_heads: int, sm_scale: float, n_valid: int,
+):
+    # q_ref: (1, M, H); kt_ref: (1, H, N) pre-transposed; v_ref: (1, N, H)
+    f32 = jnp.float32
+    H = q_ref.shape[2]
+    Np = kt_ref.shape[2]
+    hd = H // num_heads
+    pad_mask = None
+    if n_valid != Np:
+        col = jax.lax.broadcasted_iota(jnp.int32, (logits_ref.shape[0], Np), 1)
+        pad_mask = col >= n_valid
+
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        logits_ref[...] = jax.lax.dot_general(
+            q_ref[0, :, sl], kt_ref[0, sl, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+        l = logits_ref[...] * sm_scale
+        if pad_mask is not None:
+            l = jnp.where(pad_mask, -jnp.inf, l)
+        m = jnp.max(l, axis=1, keepdims=True)
+        e = jnp.exp(l - m)
+        s = jnp.sum(e, axis=1, keepdims=True)
+        p = (e / s).astype(v_ref.dtype)
+        out_ref[0, :, sl] = jax.lax.dot_general(
+            p, v_ref[0, :, sl],
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "sm_scale", "interpret"))
+def dense_cross_attention(
+    q: jnp.ndarray,  # (B, M, H)
+    k: jnp.ndarray,  # (B, N, H)
+    v: jnp.ndarray,  # (B, N, H)
+    num_heads: int = 4,
+    sm_scale: float = 0.125,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """softmax(q_h k_h^T * sm_scale) v_h per head; returns (B, M, H)."""
+    B, M, H = q.shape
+    N = k.shape[1]
+    m_pad = (-M) % 128
+    if m_pad:
+        q = jnp.pad(q, ((0, 0), (0, m_pad), (0, 0)))
+    Mp = M + m_pad
+    # K is consumed transposed (H, N): lanes carry the 4096 keys and the
+    # 64-wide head slice sits on sublanes, so the QK dot needs no in-kernel
+    # transpose. N is a 128-multiple at POEM sizes; pad defensively.
+    n_pad = (-N) % 128
+    if n_pad:
+        # -inf logits would need masking; a -30 key against |q|<=sqrt(hd)
+        # scaled logits underflows exp to 0 exactly in f32 after the max
+        # subtraction, keeping padded keys weightless.
+        k = jnp.pad(k, ((0, 0), (0, n_pad), (0, 0)), constant_values=-1e4)
+        v = jnp.pad(v, ((0, 0), (0, n_pad), (0, 0)))
+    Np = N + n_pad
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, num_heads=num_heads, sm_scale=sm_scale, n_valid=N),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Mp, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, Np), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Mp, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Mp, H), q.dtype),
+        scratch_shapes=[pltpu.VMEM((Mp, Np), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q, jnp.swapaxes(k, 1, 2), v)
+    return out[:, :M]

@@ -170,6 +170,123 @@ def _kernel(
     out_ref[0] = (o_acc / s_acc).astype(out_ref.dtype)
 
 
+def _anchor_kernel(
+    q_ref,        # (1, BQ, D)   w_qs(query_feat) block
+    qxyz_ref,     # (1, BQ, 3)   f32
+    k_ref,        # (1, A, D)    anchor keys (pre-projected)
+    v_ref,        # (1, A, D)    anchor values
+    axyz_ref,     # (1, A, 3)    f32 anchor coords (shared across batch)
+    w1_ref, b1_ref, w2_ref, b2_ref,   # fc_delta
+    g0_ref, c0_ref, g1_ref, c1_ref,   # fc_gamma
+    out_ref,      # (1, BQ, D)
+):
+    """Block-0 fixed-anchor vector attention: every query attends to the
+    same A anchors (reference point_transformers.py:24-30,75-79). The XLA
+    path materializes ~8 (B, M, A, D) HBM tensors; here every per-pair
+    intermediate lives in VMEM. Row a * BQ + i <-> (query i, anchor a)."""
+    f32 = jnp.float32
+    BQ = q_ref.shape[1]
+    A = k_ref.shape[1]
+    D = q_ref.shape[2]
+    cdt = q_ref.dtype
+
+    qxyz = qxyz_ref[0].astype(f32)                      # (BQ, 3)
+    axyz = axyz_ref[0].astype(f32)                      # (A, 3)
+    # delta rows: qxyz tiled per anchor block minus that anchor's coords
+    delta = jnp.tile(qxyz, (A, 1)) - jnp.repeat(axyz, BQ, axis=0)  # (A*BQ, 3)
+
+    t1 = jnp.maximum(
+        jax.lax.dot_general(
+            delta.astype(cdt), w1_ref[...].astype(cdt),
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        ) + b1_ref[...].astype(f32),
+        0.0,
+    )
+    pos = jax.lax.dot_general(
+        t1.astype(cdt), w2_ref[...].astype(cdt),
+        (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    ) + b2_ref[...].astype(f32)                          # (A*BQ, D)
+
+    q = q_ref[0].astype(f32)                             # (BQ, D)
+    k = jnp.repeat(k_ref[0].astype(f32), BQ, axis=0)     # (A*BQ, D)
+    x = jnp.tile(q, (A, 1)) - k + pos
+    h = jnp.maximum(
+        jax.lax.dot_general(
+            x.astype(cdt), g0_ref[...].astype(cdt),
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        ) + c0_ref[...].astype(f32),
+        0.0,
+    )
+    g = jax.lax.dot_general(
+        h.astype(cdt), g1_ref[...].astype(cdt),
+        (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    ) + c1_ref[...].astype(f32)                          # (A*BQ, D)
+
+    g = g.reshape(A, BQ, D) / jnp.sqrt(f32(D))
+    g = g - jnp.max(g, axis=0, keepdims=True)
+    e = jnp.exp(g)
+    attn = e / jnp.sum(e, axis=0, keepdims=True)         # (A, BQ, D)
+
+    v = jnp.repeat(v_ref[0].astype(f32), BQ, axis=0) + pos
+    out_ref[0] = jnp.sum(attn * v.reshape(A, BQ, D), axis=0).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def fused_anchor_vector_attention(
+    q: jnp.ndarray,           # (B, M, D) w_qs(query_feat)
+    query_xyz: jnp.ndarray,   # (B, M, 3)
+    k_anchor: jnp.ndarray,    # (B, A, D) pre-projected anchor keys
+    v_anchor: jnp.ndarray,    # (B, A, D)
+    anchor_xyz: jnp.ndarray,  # (A, 3) or (B, A, 3)
+    fc_delta: Tuple[jnp.ndarray, ...],
+    fc_gamma: Tuple[jnp.ndarray, ...],
+    block_q: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fixed-anchor variant of :func:`fused_knn_vector_attention`."""
+    B, M, D = q.shape
+    A = k_anchor.shape[1]
+    m_pad = _round_up(M, block_q) - M
+    if m_pad:
+        q = jnp.pad(q, ((0, 0), (0, m_pad), (0, 0)))
+        query_xyz = jnp.pad(query_xyz, ((0, 0), (0, m_pad), (0, 0)))
+    Mp = M + m_pad
+
+    w1, b1, w2, b2 = fc_delta
+    g0, c0, g1, c1 = fc_gamma
+    if anchor_xyz.ndim == 2:
+        anchor_xyz = anchor_xyz[None]
+    axyz = jnp.broadcast_to(anchor_xyz.astype(jnp.float32), (B, A, 3))
+
+    out = pl.pallas_call(
+        _anchor_kernel,
+        grid=(B, Mp // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 3), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A, D), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A, D), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A, 3), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Mp, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q, query_xyz.astype(jnp.float32), k_anchor, v_anchor, axyz,
+      w1, b1, w2, b2, g0, c0, g1, c1)
+    return out[:, :M]
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_neighbor", "block_q", "chunk_j", "interpret")
 )

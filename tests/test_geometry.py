@@ -284,3 +284,28 @@ class TestWorldProjection:
         proj = np.einsum("bvni,bvji->bvnj", cam_pts, intr)
         want = proj[..., :2] / proj[..., 2:]
         np.testing.assert_allclose(got, want, atol=1e-2)
+
+
+class TestJacobiEigh4x4:
+    def test_matches_lapack_eigh(self):
+        from poem_v2_tpu.geometry.triangulation import jacobi_eigh_4x4
+
+        rng = np.random.RandomState(11)
+        m = rng.randn(500, 6, 4).astype(np.float32)
+        m[250:, :, 3] *= 1e-3  # ill-conditioned normal matrices
+        ata = np.einsum("brk,brl->bkl", m, m)
+        w_ref, v_ref = np.linalg.eigh(ata)
+
+        w, v = jax.jit(jacobi_eigh_4x4)(jnp.asarray(ata))
+        w = np.asarray(w)
+        v = np.asarray(v)
+        order = np.argsort(w, axis=-1)
+        w_sorted = np.take_along_axis(w, order, -1)
+        np.testing.assert_allclose(
+            w_sorted, w_ref, atol=1e-4 * np.abs(w_ref).max(), rtol=1e-5
+        )
+        # smallest eigenvector matches up to sign (the DLT consumer)
+        sel = np.argmin(w, -1)
+        x = v[np.arange(len(v)), :, sel]
+        cos = np.abs(np.sum(x * v_ref[..., :, 0], -1))
+        assert cos.min() > 1.0 - 1e-5

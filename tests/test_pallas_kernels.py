@@ -107,3 +107,125 @@ def test_pt_blocks_fused_knn_matches_xla():
             np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=1e-4, rtol=1e-4)
     finally:
         pk.fused_knn_vector_attention = orig
+
+
+def test_fused_anchor_vector_attention_matches_xla():
+    """Fixed-anchor fused kernel == the XLA broadcast anchor path."""
+    from poem_v2_tpu.ops.pallas_knn_attn import fused_anchor_vector_attention
+
+    with jax.default_matmul_precision("highest"):
+        rs = np.random.RandomState(2)
+        B, M, A, D = 2, 67, 8, 64
+        mk = lambda *s: jnp.asarray(rs.randn(*s).astype(np.float32))
+        q, qxyz = mk(B, M, D), mk(B, M, 3)
+        k_a, v_a = mk(B, A, D), mk(B, A, D)
+        axyz = mk(A, 3)
+        fcd = (mk(3, D), mk(D), mk(D, D) / 8, mk(D))
+        fcg = (mk(D, D) / 8, mk(D), mk(D, D) / 8, mk(D))
+
+        out = fused_anchor_vector_attention(
+            q, qxyz, k_a, v_a, axyz, fcd, fcg, block_q=16, interpret=True
+        )
+        k_g = jnp.broadcast_to(k_a[:, None], (B, M, A, D))
+        v_g = jnp.broadcast_to(v_a[:, None], (B, M, A, D))
+        delta = qxyz[:, :, None] - axyz[None, None]
+        ref = vector_attention_reference(q, k_g, v_g, delta, fcd, fcg)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_pt_blocks_fused_anchor_matches_xla():
+    """PtSelf/CrossAttnBlock anchor path (use_fused_knn) == XLA broadcast path."""
+    import poem_v2_tpu.ops.pallas_knn_attn as pk
+    from poem_v2_tpu.models.bricks.point_transformer import (
+        PtCrossAttnBlock, PtSelfAttnBlock,
+    )
+
+    orig = pk.fused_anchor_vector_attention
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        kw["block_q"] = 16
+        return orig(*args, **kw)
+
+    pk.fused_anchor_vector_attention = interp
+    try:
+        with jax.default_matmul_precision("highest"):
+            rs = np.random.RandomState(3)
+            B, M, N, D, A = 2, 33, 100, 32, 8
+            xyz = jnp.asarray(rs.randn(B, N, 3).astype(np.float32))
+            feats = jnp.asarray(rs.randn(B, N, D).astype(np.float32))
+            qxyz = jnp.asarray(rs.randn(B, M, 3).astype(np.float32))
+            qf = jnp.asarray(rs.randn(B, M, D).astype(np.float32))
+            anchor_idx = jnp.asarray(rs.choice(N, A, replace=False).astype(np.int32))
+            anchor_xyz = jnp.asarray(rs.randn(A, 3).astype(np.float32))
+
+            for a_xyz in (None, anchor_xyz):
+                blk = PtCrossAttnBlock(D, D, A, use_fused_knn=False)
+                v = blk.init(jax.random.PRNGKey(0), xyz, feats, qxyz, qf,
+                             anchor_idx=anchor_idx, anchor_xyz=a_xyz)
+                ref = blk.apply(v, xyz, feats, qxyz, qf,
+                                anchor_idx=anchor_idx, anchor_xyz=a_xyz)
+                blk_f = PtCrossAttnBlock(D, D, A, use_fused_knn=True)
+                out = blk_f.apply(v, xyz, feats, qxyz, qf,
+                                  anchor_idx=anchor_idx, anchor_xyz=a_xyz)
+                np.testing.assert_allclose(
+                    np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+            q_anchor = jnp.asarray(rs.choice(M, A, replace=False).astype(np.int32))
+            sblk = PtSelfAttnBlock(D, D, A, use_fused_knn=False)
+            v2 = sblk.init(jax.random.PRNGKey(0), qxyz, qf,
+                           anchor_idx=q_anchor, anchor_xyz=anchor_xyz)
+            ref2 = sblk.apply(v2, qxyz, qf, anchor_idx=q_anchor, anchor_xyz=anchor_xyz)
+            sblk_f = PtSelfAttnBlock(D, D, A, use_fused_knn=True)
+            out2 = sblk_f.apply(v2, qxyz, qf, anchor_idx=q_anchor, anchor_xyz=anchor_xyz)
+            np.testing.assert_allclose(
+                np.asarray(out2), np.asarray(ref2), atol=1e-4, rtol=1e-4)
+    finally:
+        pk.fused_anchor_vector_attention = orig
+
+
+def test_dense_cross_attention_matches_einsum():
+    from poem_v2_tpu.ops.pallas_cross_attn import dense_cross_attention
+
+    with jax.default_matmul_precision("highest"):
+        rs = np.random.RandomState(4)
+        B, M, N, H, nh = 2, 67, 130, 64, 4  # M, N not block multiples
+        hd = H // nh
+        q = jnp.asarray(rs.randn(B, M, H).astype(np.float32))
+        k = jnp.asarray(rs.randn(B, N, H).astype(np.float32))
+        v = jnp.asarray(rs.randn(B, N, H).astype(np.float32))
+
+        got = dense_cross_attention(
+            q, k, v, num_heads=nh, sm_scale=1.0 / hd ** 0.5, interpret=True
+        )
+        qh = q.reshape(B, M, nh, hd)
+        kh = k.reshape(B, N, nh, hd)
+        vh = v.reshape(B, N, nh, hd)
+        logits = jnp.einsum("bqhd,bnhd->bhqn", qh, kh) / hd ** 0.5
+        probs = jax.nn.softmax(logits, axis=-1)
+        ref = jnp.einsum("bhqn,bnhd->bqhd", probs, vh).reshape(B, M, H)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_grid_sample_fused_matches_4tap():
+    from poem_v2_tpu.ops.pallas_bilinear import grid_sample_points_fused
+    from poem_v2_tpu.ops.sampling import grid_sample_points
+
+    with jax.default_matmul_precision("highest"):
+        rs = np.random.RandomState(5)
+        B, H, W, C, N = 2, 8, 8, 32, 100
+        feat = jnp.asarray(rs.randn(B, H, W, C).astype(np.float32))
+        # include far out-of-image points and exact cell borders
+        coords = jnp.asarray(
+            np.concatenate(
+                [
+                    rs.uniform(-1.4, 1.4, (B, N - 4, 2)),
+                    np.array([[[-1.0, -1.0], [1.0, 1.0], [0.0, 0.0], [-2.0, 0.5]]]
+                             ).repeat(B, 0),
+                ],
+                axis=1,
+            ).astype(np.float32)
+        )
+        got = grid_sample_points_fused(feat, coords, block_n=64, interpret=True)
+        ref = grid_sample_points(feat, coords)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2, rtol=2e-2)
