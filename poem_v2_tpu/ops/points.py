@@ -206,3 +206,38 @@ def knn_points_bucketed(
     idx = jnp.take_along_axis(cands, pos, axis=-1)
     nn_xyz = index_points(jnp.broadcast_to(cloud[None], (query.shape[0],) + cloud.shape), idx)
     return -neg_d, idx, nn_xyz
+
+
+def build_balanced_buckets(points: np.ndarray, bucket_size: int = 128):
+    """Balanced k-d bucketing of a STATIC cloud for the bucketed Pallas KNN.
+
+    Recursive median splits (cycling the widest axis) until each leaf has
+    exactly ``bucket_size`` points; N must be a multiple of bucket_size.
+    Returns (perm, lo, hi): ``perm`` (N,) int32 such that ``points[perm]``
+    lays buckets out contiguously, and ``lo``/``hi`` (NB, 3) tight
+    axis-aligned bounding boxes per bucket — the distance lower bounds
+    behind the kernel's exactness certificate (k-d leaves are wedge
+    shaped, so boxes are far tighter than bounding spheres).
+    """
+    pts = np.asarray(points, dtype=np.float32)
+    n = pts.shape[0]
+    assert n % bucket_size == 0, (n, bucket_size)
+
+    def split(idx):
+        if len(idx) == bucket_size:
+            return [idx]
+        sub = pts[idx]
+        axis = int(np.argmax(sub.max(0) - sub.min(0)))
+        order = idx[np.argsort(sub[:, axis], kind="stable")]
+        half = len(order) // 2
+        # keep both halves bucket_size-aligned (len is a power-of-two
+        # multiple of bucket_size at every level when n is)
+        half -= half % bucket_size
+        half = max(bucket_size, min(half, len(order) - bucket_size))
+        return split(order[:half]) + split(order[half:])
+
+    leaves = split(np.arange(n))
+    perm = np.concatenate(leaves).astype(np.int32)
+    lo = np.stack([pts[l].min(0) for l in leaves]).astype(np.float32)
+    hi = np.stack([pts[l].max(0) for l in leaves]).astype(np.float32)
+    return perm, lo, hi

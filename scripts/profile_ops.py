@@ -101,6 +101,8 @@ def build_program(name: str, batch: int = 8):
         cfg.BACKBONE.WIDTH = 40
         cfg.HEAD.IN_CHANNELS = 160
         cfg.HEAD.TRANSFORMER.N_BLOCKS = 3
+        cfg.HEAD.TRANSFORMER.N_NEIGHBOR = 32
+        cfg.HEAD.TRANSFORMER.N_NEIGHBOR_QUERY = 32
         cfg.HEAD.POSITIONAL_ENCODING.NUM_FEATS = 128
         model, aux = create_poem_model(cfg, dtype=jnp.bfloat16)
         ds = SyntheticMultiviewDataset(batch_size=batch, view_max=8, image_size=256,

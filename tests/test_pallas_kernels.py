@@ -229,3 +229,55 @@ def test_grid_sample_fused_matches_4tap():
         got = grid_sample_points_fused(feat, coords, block_n=64, interpret=True)
         ref = grid_sample_points(feat, coords)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_bucketed_knn_attention_exact_and_certified():
+    """Bucketed kernel == full kernel when all buckets are candidates
+    (sentinel margin), and certifies exactness on favourable geometry."""
+    from poem_v2_tpu.ops.pallas_knn_attn import (
+        fused_knn_vector_attention,
+        fused_knn_vector_attention_bucketed,
+    )
+    from poem_v2_tpu.ops.points import build_balanced_buckets
+
+    with jax.default_matmul_precision("highest"):
+        rs = np.random.RandomState(0)
+        B, M, N, D, K, SB = 2, 64, 512, 64, 8, 32
+        cloud = rs.randn(N, 3).astype(np.float32)
+        perm, lo, hi = build_balanced_buckets(cloud, SB)
+        mk = lambda *s: jnp.asarray(rs.randn(*s).astype(np.float32))
+        q, qxyz = mk(B, M, D), mk(B, M, 3)
+        ptxyz = jnp.asarray(np.broadcast_to(cloud[perm], (B, N, 3)).copy())
+        x_full = mk(B, N, D)
+        wk, wv = mk(D, D) / 8, mk(D, D) / 8
+        fcd = (mk(3, D), mk(D), mk(D, D) / 8, mk(D))
+        fcg = (mk(D, D) / 8, mk(D), mk(D, D) / 8, mk(D))
+
+        ref = fused_knn_vector_attention(
+            q, qxyz, ptxyz, x_full, wk, wv, fcd, fcg,
+            n_neighbor=K, block_q=16, chunk_j=4, interpret=True)
+        # all buckets candidates -> bitwise-equal result, sentinel margin
+        out, margins = fused_knn_vector_attention_bucketed(
+            q, qxyz, ptxyz, x_full, jnp.asarray(lo), jnp.asarray(hi),
+            wk, wv, fcd, fcg, n_neighbor=K, block_q=16, chunk_j=4,
+            n_cand=N // SB, bucket_size=SB, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+        assert np.asarray(margins).min() > 1e30
+
+        # spatially tight query clusters -> certified blocks match the
+        # full kernel; the certificate is the contract for the rest
+        qxyz2 = jnp.asarray(
+            cloud[7][None, None] + rs.randn(B, M, 3).astype(np.float32) * 0.05
+        )
+        ref2 = fused_knn_vector_attention(
+            q, qxyz2, ptxyz, x_full, wk, wv, fcd, fcg,
+            n_neighbor=K, block_q=16, chunk_j=4, interpret=True)
+        out2, margins2 = fused_knn_vector_attention_bucketed(
+            q, qxyz2, ptxyz, x_full, jnp.asarray(lo), jnp.asarray(hi),
+            wk, wv, fcd, fcg, n_neighbor=K, block_q=16, chunk_j=4,
+            n_cand=8, bucket_size=SB, interpret=True)
+        m2 = np.asarray(margins2)
+        assert (m2 >= 0).any(), "no block certified on easy geometry"
+        err = np.abs(np.asarray(out2) - np.asarray(ref2)).reshape(B, M // 16, 16, D)
+        per_block = err.max(axis=(2, 3))
+        assert per_block[m2 >= 0].max() < 1e-5
