@@ -50,13 +50,18 @@ class RawDense(nn.Module):
         return self.kernel.astype(self.dtype)
 
 
-def _fused_block_config(n_points: int):
+def _fused_block_config(n_points: int, k: int):
     """(block_q, chunk_j) by cloud size, swept on v5e (B16, 799 queries,
     K=32): the one-hot gather matmul wants >=512 rows per chunk to
     amortize MXU pipeline fill — (128, 32) for the 799-point query cloud
     (6.18 vs 6.42 ms at the old (128, 8)) and (64, 16) for the 4096-point
-    BPS cloud (14.5 vs 16.1 ms at the old (32, 8))."""
-    return (128, 32) if n_points <= 1024 else (64, 16)
+    BPS cloud (14.5 vs 16.1 ms at the old (32, 8)). chunk_j must divide
+    the neighbour count, so it is clamped to the largest divisor of k."""
+    bq, cj = (128, 32) if n_points <= 1024 else (64, 16)
+    cj = min(cj, k)
+    while k % cj:
+        cj -= 1
+    return bq, cj
 
 
 def _mlp_params(module: nn.Module, name: str, d_in: int, d_model: int):
@@ -108,7 +113,7 @@ class PtSelfAttnBlock(nn.Module):
         if self.use_fused_knn and anchor_idx is None:
             from ...ops.pallas_knn_attn import fused_knn_vector_attention
 
-            bq, cj = _fused_block_config(xyz.shape[1])
+            bq, cj = _fused_block_config(xyz.shape[1], self.k)
             res = fused_knn_vector_attention(
                 q, xyz, xyz, x, w_ks.matrix(), w_vs.matrix(),
                 tuple(p.astype(self.dtype) for p in fc_delta),
@@ -194,7 +199,7 @@ class PtCrossAttnBlock(nn.Module):
         if self.use_fused_knn and anchor_idx is None:
             from ...ops.pallas_knn_attn import fused_knn_vector_attention
 
-            bq, cj = _fused_block_config(xyz.shape[1])
+            bq, cj = _fused_block_config(xyz.shape[1], self.k)
             res = fused_knn_vector_attention(
                 q, query_xyz, xyz, x_full, w_ks.matrix(), w_vs.matrix(),
                 tuple(p.astype(self.dtype) for p in fc_delta),

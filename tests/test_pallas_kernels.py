@@ -281,3 +281,15 @@ def test_bucketed_knn_attention_exact_and_certified():
         err = np.abs(np.asarray(out2) - np.asarray(ref2)).reshape(B, M // 16, 16, D)
         per_block = err.max(axis=(2, 3))
         assert per_block[m2 >= 0].max() < 1e-5
+
+
+def test_fused_block_config_divides_neighbour_count():
+    """Regression: chunk_j must divide K for any (cloud size, K) combo —
+    the smoke config (K=8) hit chunk_j=32 and tripped the kernel assert."""
+    from poem_v2_tpu.models.bricks.point_transformer import _fused_block_config
+
+    for n in (256, 799, 1024, 4096):
+        for k in (1, 3, 8, 16, 32, 48):
+            bq, cj = _fused_block_config(n, k)
+            assert k % cj == 0, (n, k, bq, cj)
+            assert 1 <= cj <= max(k, 1)
