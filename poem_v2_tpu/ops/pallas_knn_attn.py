@@ -170,6 +170,126 @@ def _kernel(
     out_ref[0] = (o_acc / s_acc).astype(out_ref.dtype)
 
 
+def _kernel_from_idx(
+    q_ref,        # (1, BQ, D)   w_qs(query_feat) block
+    qxyz_ref,     # (1, BQ, 3)   f32
+    idx_ref,      # (1, BQ, K)   int32 exact-KNN indices (XLA top_k)
+    ptxyz_ref,    # (1, 3, N)    f32, transposed
+    x_full_ref,   # (1, N, D)    fc1 activations of the cloud
+    wk_ref, wv_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref,
+    g0_ref, c0_ref, g1_ref, c1_ref,
+    out_ref,      # (1, BQ, D)
+    oh_ref,       # scratch (CJ * BQ, N)
+    *,
+    n_neighbor: int,
+    chunk_j: int,
+):
+    """Variant of ``_kernel`` fed with precomputed exact-KNN indices.
+
+    XLA's ``lax.top_k`` on the (B, M, N) distance tensor costs 1.55 ms at
+    POEM sizes while the in-kernel serial arg-min costs ~4.3 ms per
+    instance (32 rounds x 4 VPU passes over (BQ, N)); with indices given
+    the kernel builds each one-hot row in ONE compare pass and skips the
+    distance matmul entirely."""
+    K = n_neighbor
+    CJ = chunk_j
+    BQ = q_ref.shape[1]
+    N = ptxyz_ref.shape[2]
+    D = q_ref.shape[2]
+    f32 = jnp.float32
+
+    qxyz = qxyz_ref[0].astype(f32)          # (BQ, 3)
+    ptxyz_t = ptxyz_ref[0].astype(f32)      # (3, N)
+    x_full = x_full_ref[0]                  # (N, D)
+    cdt = q_ref.dtype
+    q = q_ref[0].astype(f32)                # (BQ, D)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (BQ, N), 1)
+    inv_sqrt_d = 1.0 / jnp.sqrt(f32(D))
+    idx_all = idx_ref[0]                                           # (BQ, K)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (BQ, K), 1)
+
+    # static unroll over chunks: Mosaic has no dynamic_slice on values,
+    # and with the arg-min carry gone there is no buffer-reuse reason
+    # to keep the chunk loop as a fori_loop
+    def chunk_body(c, carry):
+        m_acc, s_acc, o_acc = carry
+        for jj in range(CJ):
+            # column extraction as select+reduce: a direct lane-index
+            # (idx_all[:, j]) lowers to a cross-lane shuffle per step
+            # and measured 2.5x SLOWER than the whole arg-min variant
+            idx_j = jnp.sum(
+                jnp.where(kcol == c * CJ + jj, idx_all, 0), axis=1, keepdims=True
+            )  # (BQ, 1)
+            oh_ref[pl.ds(jj * BQ, BQ)] = (col == idx_j).astype(oh_ref.dtype)
+        ohc = oh_ref[...]                                          # (CJ*BQ, N)
+
+        x_g = jax.lax.dot_general(
+            ohc, x_full.astype(ohc.dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+        nn = jax.lax.dot_general(
+            ohc, ptxyz_t.astype(ohc.dtype),
+            (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        )
+
+        k_g = jax.lax.dot_general(
+            x_g.astype(cdt), wk_ref[...].astype(cdt),
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+        v_g = jax.lax.dot_general(
+            x_g.astype(cdt), wv_ref[...].astype(cdt),
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+
+        delta = jnp.tile(qxyz, (CJ, 1)) - nn
+        t1 = jnp.maximum(
+            jax.lax.dot_general(
+                delta.astype(cdt), w1_ref[...].astype(cdt),
+                (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            ) + b1_ref[...].astype(f32),
+            0.0,
+        )
+        pos = jax.lax.dot_general(
+            t1.astype(cdt), w2_ref[...].astype(cdt),
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        ) + b2_ref[...].astype(f32)
+
+        x = jnp.tile(q, (CJ, 1)) - k_g + pos
+        h = jnp.maximum(
+            jax.lax.dot_general(
+                x.astype(cdt), g0_ref[...].astype(cdt),
+                (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            ) + c0_ref[...].astype(f32),
+            0.0,
+        )
+        g = jax.lax.dot_general(
+            h.astype(cdt), g1_ref[...].astype(cdt),
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        ) + c1_ref[...].astype(f32)
+
+        g = g.reshape(CJ, BQ, D) * inv_sqrt_d
+        v = v_g.reshape(CJ, BQ, D) + pos.reshape(CJ, BQ, D)
+
+        m_new = jnp.maximum(m_acc, jnp.max(g, axis=0))
+        scale = jnp.exp(m_acc - m_new)
+        e = jnp.exp(g - m_new[None])
+        s_acc = s_acc * scale + jnp.sum(e, axis=0)
+        o_acc = o_acc * scale + jnp.sum(e * v, axis=0)
+        return m_new, s_acc, o_acc
+
+    carry = (
+        jnp.full((BQ, D), -jnp.inf, f32),
+        jnp.zeros((BQ, D), f32),
+        jnp.zeros((BQ, D), f32),
+    )
+    for c in range(K // CJ):
+        carry = chunk_body(c, carry)
+    m_acc, s_acc, o_acc = carry
+    out_ref[0] = (o_acc / s_acc).astype(out_ref.dtype)
+
+
 def _bucketed_kernel(
     cand_ref,     # SMEM (B * NBLK * C,) int32 candidate bucket ids
     q_ref,        # (1, BQ, D)
@@ -592,10 +712,16 @@ def fused_knn_vector_attention(
     n_neighbor: int = 32,
     block_q: int = 128,
     chunk_j: int = 4,
+    neighbor_idx: jnp.ndarray = None,  # (B, M, K) int32 precomputed exact KNN
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused pointer-stage attention; returns (B, M, D) like
-    ``vector_attention_reference`` fed with exact-KNN gathers."""
+    ``vector_attention_reference`` fed with exact-KNN gathers.
+
+    With ``neighbor_idx`` (from XLA ``lax.top_k``, 1.55 ms at POEM sizes
+    vs ~4.3 ms for the in-kernel serial arg-min) the kernel skips the
+    distance matmul and arg-min rounds entirely.
+    """
     B, M, D = q.shape
     N = pt_xyz.shape[1]
     K = n_neighbor
@@ -612,43 +738,47 @@ def fused_knn_vector_attention(
     if m_pad:
         q = jnp.pad(q, ((0, 0), (0, m_pad), (0, 0)))
         query_xyz = jnp.pad(query_xyz, ((0, 0), (0, m_pad), (0, 0)))
+        if neighbor_idx is not None:
+            # padded queries gather point 0 (their output rows are sliced off)
+            neighbor_idx = jnp.pad(neighbor_idx, ((0, 0), (0, m_pad), (0, 0)))
     Mp = M + m_pad
 
     w1, b1, w2, b2 = fc_delta
     g0, c0, g1, c1 = fc_gamma
     grid = (B, Mp // block_q)
 
+    blkspec = lambda blk: pl.BlockSpec(blk, lambda b, m: (b, m, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        blkspec((1, block_q, D)),
+        blkspec((1, block_q, 3)),
+    ]
+    inputs = [q, query_xyz.astype(jnp.float32)]
+    if neighbor_idx is not None:
+        kernel = functools.partial(_kernel_from_idx, n_neighbor=K, chunk_j=chunk_j)
+        in_specs.append(blkspec((1, block_q, K)))
+        inputs.append(neighbor_idx.astype(jnp.int32))
+    else:
+        kernel = functools.partial(_kernel, n_neighbor=K, chunk_j=chunk_j)
+    in_specs += [
+        pl.BlockSpec((1, 3, Np), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Np, D), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10
+    inputs += [jnp.swapaxes(pt_xyz.astype(jnp.float32), 1, 2), x_full,
+               wk, wv, w1, b1, w2, b2, g0, c0, g1, c1]
+
     out = pl.pallas_call(
-        functools.partial(_kernel, n_neighbor=K, chunk_j=chunk_j),
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 3), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, Np), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Np, D), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, D), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Mp, D), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((chunk_j * block_q, Np), q.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            # v5e has headroom above the 16 MB default scoped-vmem limit;
-            # bigger query blocks cut the serial arg-min rounds per point
+            # v5e has headroom above the 16 MB default scoped-vmem limit
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(q, query_xyz.astype(jnp.float32),
-      jnp.swapaxes(pt_xyz.astype(jnp.float32), 1, 2), x_full,
-      wk, wv, w1, b1, w2, b2, g0, c0, g1, c1)
+    )(*inputs)
     return out[:, :M]

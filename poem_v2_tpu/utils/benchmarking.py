@@ -49,9 +49,12 @@ def chained_time(
 
 
 def _tap(out) -> jnp.ndarray:
+    # tap EVERY numeric leaf: an int-only output (e.g. top_k indices) with
+    # no float tap would leave the loop body independent of the carry and
+    # XLA hoists the whole computation — the "measurement" reads ~0
     leaves = [
         l for l in jax.tree_util.tree_leaves(out)
-        if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.inexact)
+        if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.number)
     ]
     return sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
 

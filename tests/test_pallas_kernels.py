@@ -293,3 +293,30 @@ def test_fused_block_config_divides_neighbour_count():
             bq, cj = _fused_block_config(n, k)
             assert k % cj == 0, (n, k, bq, cj)
             assert 1 <= cj <= max(k, 1)
+
+
+def test_fused_knn_idx_fed_matches_argmin():
+    """neighbor_idx-fed kernel variant == in-kernel arg-min variant.
+
+    Kept as infrastructure: XLA exact top_k lowers to a 25 ms full sort
+    at POEM sizes so the in-kernel arg-min stays the default, but any
+    future cheap index source can feed this path."""
+    from poem_v2_tpu.ops.pallas_knn_attn import fused_knn_vector_attention
+    from poem_v2_tpu.ops.points import knn_points
+
+    with jax.default_matmul_precision("highest"):
+        rs = np.random.RandomState(6)
+        B, M, N, D, K = 2, 67, 200, 64, 8
+        mk = lambda *s: jnp.asarray(rs.randn(*s).astype(np.float32))
+        q, qxyz, ptxyz, x_full = mk(B, M, D), mk(B, M, 3), mk(B, N, 3), mk(B, N, D)
+        wk, wv = mk(D, D) / 8, mk(D, D) / 8
+        fcd = (mk(3, D), mk(D), mk(D, D) / 8, mk(D))
+        fcg = (mk(D, D) / 8, mk(D), mk(D, D) / 8, mk(D))
+        ref = fused_knn_vector_attention(
+            q, qxyz, ptxyz, x_full, wk, wv, fcd, fcg,
+            n_neighbor=K, block_q=16, chunk_j=4, interpret=True)
+        _, idx, _ = knn_points(qxyz, ptxyz, K, approx=False)
+        out = fused_knn_vector_attention(
+            q, qxyz, ptxyz, x_full, wk, wv, fcd, fcg,
+            n_neighbor=K, block_q=16, chunk_j=4, neighbor_idx=idx, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
