@@ -34,7 +34,39 @@ from ...ops.sampling import grid_sample_points_matmul, pixel_to_grid
 from ...utils.registry import HEAD
 from ..bricks.attention import MLP
 from ..decoder import PtEmbedDecoder
-from ..positional import sine_positional_encoding_3d
+from ..positional import sine_positional_encoding_3d_factors
+
+
+class AdaptPos3D(nn.Module):
+    """The head's adapt_pos3d 1x1 conv, applied factored.
+
+    Parameter tree is IDENTICAL to ``nn.Conv(embed, (1, 1))`` on the
+    (B, V, H, W, 3F) sine embedding — kernel (1, 1, 3F, C) + bias — but
+    the projection distributes over the embedding's three broadcast
+    factors, so the ~200 MB expanded concat (the old path's dominant
+    HBM cost) is never materialized:
+
+      conv(concat(n, y, x)) = n @ K_n + y @ K_y + x @ K_x + bias
+    """
+
+    embed_dims: int
+    num_feats: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pos_n, pos_y, pos_x):
+        F = self.num_feats
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, 3 * F, self.embed_dims),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.embed_dims,))
+        k = kernel.reshape(3 * F, self.embed_dims).astype(self.dtype)
+        pn = (pos_n.astype(self.dtype) @ k[:F])[:, :, None, None]       # (B,V,1,1,C)
+        py = (pos_y.astype(self.dtype) @ k[F:2 * F])[:, :, :, None]     # (B,V,H,1,C)
+        px = (pos_x.astype(self.dtype) @ k[2 * F:])[:, :, None, :]      # (B,V,1,W,C)
+        return pn + py + px + bias.astype(self.dtype)
 
 
 def generate_bps_basis(n_points: int = 4096, radius: float = 0.1, seed: int = 77) -> np.ndarray:
@@ -148,12 +180,12 @@ class POEMGeneralizedHead(nn.Module):
 
         x = nn.Conv(self.embed_dims, (1, 1), dtype=self.dtype, name="input_proj")(mlvl_feat)
 
-        sin = sine_positional_encoding_3d(
+        pos_n, pos_y, pos_x = sine_positional_encoding_3d_factors(
             view_mask, H, W, num_feats=self.pe_num_feats, dtype=f32
-        )  # (B, V, H, W, 3*pe)
-        sin = nn.Conv(self.embed_dims, (1, 1), dtype=self.dtype, name="adapt_pos3d")(
-            sin.astype(self.dtype)
         )
+        sin = AdaptPos3D(
+            self.embed_dims, self.pe_num_feats, dtype=self.dtype, name="adapt_pos3d"
+        )(pos_n, pos_y, pos_x)
         x = x + sin
 
         # ---- BPS cloud around reference joint 9 --------------------------
@@ -167,8 +199,9 @@ class POEMGeneralizedHead(nn.Module):
         # bilinear gather as MXU matmuls (see ops/sampling.py) — the 4-tap
         # dynamic gather is ~6x slower on TPU at these sizes. The fused
         # Pallas variant builds the interpolation weights separably in VMEM
-        # (never in HBM) and keeps the grid in f32.
-        if self.use_fused_sampling:
+        # (never in HBM) and keeps the grid in f32. Eval-only: the kernel
+        # has no VJP; training keeps the differentiable matmul path.
+        if self.use_fused_sampling and deterministic:
             from ...ops.pallas_bilinear import grid_sample_points_fused
 
             feats_flat = grid_sample_points_fused(

@@ -15,7 +15,7 @@ import math
 import jax.numpy as jnp
 
 
-def sine_positional_encoding_3d(
+def sine_positional_encoding_3d_factors(
     view_mask: jnp.ndarray,  # (B, V) bool
     height: int,
     width: int,
@@ -26,8 +26,15 @@ def sine_positional_encoding_3d(
     eps: float = 1e-6,
     offset: float = 0.0,
     dtype=jnp.float32,
-) -> jnp.ndarray:
-    """Returns (B, V, H, W, 3*num_feats) channels-last position embedding."""
+):
+    """The three broadcast factors of the 3D sine encoding, unexpanded.
+
+    Returns (pos_n (B, V, F), pos_y (B, V, H, F), pos_x (B, V, W, F)).
+    The full (B, V, H, W, 3F) embedding is their broadcast-concat; any
+    LINEAR map of it (the head's adapt_pos3d 1x1 conv) distributes over
+    the concat, so consumers can project the small factors and
+    broadcast-add — never materializing the ~200 MB expanded tensor.
+    """
     B, V = view_mask.shape
     vm = view_mask.astype(dtype)
 
@@ -54,7 +61,27 @@ def sine_positional_encoding_3d(
     pos_n = interleave_sin_cos(n_embed[..., None] / dim_t)  # (B, V, F)
     pos_y = interleave_sin_cos(y_embed[..., None] / dim_t)  # (B, V, H, F)
     pos_x = interleave_sin_cos(x_embed[..., None] / dim_t)  # (B, V, W, F)
+    return pos_n, pos_y, pos_x
 
+
+def sine_positional_encoding_3d(
+    view_mask: jnp.ndarray,  # (B, V) bool
+    height: int,
+    width: int,
+    num_feats: int = 128,
+    temperature: float = 10000.0,
+    normalize: bool = True,
+    scale: float = 2 * math.pi,
+    eps: float = 1e-6,
+    offset: float = 0.0,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Returns (B, V, H, W, 3*num_feats) channels-last position embedding."""
+    B, V = view_mask.shape
+    pos_n, pos_y, pos_x = sine_positional_encoding_3d_factors(
+        view_mask, height, width, num_feats, temperature, normalize,
+        scale, eps, offset, dtype,
+    )
     pos_n_full = jnp.broadcast_to(pos_n[:, :, None, None], (B, V, height, width, num_feats))
     pos_y_full = jnp.broadcast_to(pos_y[:, :, :, None], (B, V, height, width, num_feats))
     pos_x_full = jnp.broadcast_to(pos_x[:, :, None, :], (B, V, height, width, num_feats))

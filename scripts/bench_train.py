@@ -26,7 +26,17 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    # persistent compile cache (HRNet train-step compiles take minutes
+    # through the tunneled TPU)
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
+    import numpy as np
 
     from __graft_entry__ import _tiny_cfg
     from poem_v2_tpu.data import SyntheticMultiviewDataset
@@ -51,13 +61,29 @@ def main():
         random_views=False, view_range=(args.views, args.views),
     )
     batch = ds.sample_batch()
-    state = trainer.init_state({k: jnp.asarray(v) for k, v in batch.items()})
+    # fabricate the train state host-side from eval_shape: on-device init
+    # costs minutes on the tunneled TPU and the values don't affect timing
+    dev_b = {k: jnp.asarray(v) for k, v in batch.items()}
+    shapes = jax.eval_shape(trainer.init_state, dev_b)
+    rs = np.random.RandomState(0)
+
+    def fab(sd):
+        if str(sd.dtype).startswith(("float", "bfloat")):
+            return jnp.asarray(rs.normal(0, 0.02, sd.shape).astype(sd.dtype))
+        return jnp.zeros(sd.shape, sd.dtype)
+
+    state = jax.tree_util.tree_map(fab, shapes)
 
     # pre-shard the batch once: on tunneled devices per-step host->device
     # transfers would otherwise dominate the measurement
     from poem_v2_tpu.parallel.mesh import shard_batch
 
     dev_batch = shard_batch(trainer._to_device_batch(batch), mesh)
+    # TWO warmup steps: the first compiles for the host-fabricated state's
+    # signature, the second for the steady-state (device-typed) signature —
+    # otherwise that second compile lands inside the timed loop
+    state, metrics = trainer._train_step(state, dev_batch)
+    _ = float(metrics["loss"])
     state, metrics = trainer._train_step(state, dev_batch)
     _ = float(metrics["loss"])
     t0 = time.perf_counter()

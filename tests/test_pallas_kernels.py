@@ -320,3 +320,50 @@ def test_fused_knn_idx_fed_matches_argmin():
             q, qxyz, ptxyz, x_full, wk, wv, fcd, fcg,
             n_neighbor=K, block_q=16, chunk_j=4, neighbor_idx=idx, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_train_mode_avoids_vjp_less_kernels():
+    """Gradients must flow through a head built with every fused-eval flag
+    on: the Pallas kernels have no VJP, so train mode (deterministic=False)
+    must route to the differentiable XLA paths. Regression: the fused
+    sampler was gated on the flag only and broke TPU training."""
+    import numpy as np
+    from poem_v2_tpu.models.heads.ptemb_head import (
+        POEMGeneralizedHead, generate_bps_basis,
+    )
+
+    rs = np.random.RandomState(0)
+    B, V, H, W, C = 1, 2, 8, 8, 16
+    nsample, nq = 64, 31
+    head = POEMGeneralizedHead(
+        embed_dims=32, pt_feat_dim=32, in_channels=C, num_query=nq,
+        nsample=nsample, pe_num_feats=8, n_blocks=2, num_heads=2,
+        n_neighbor=4, n_neighbor_query=4,
+        bps_basis=generate_bps_basis(nsample, 0.1),
+        template_mesh=rs.randn(nq, 3).astype(np.float32) * 0.05,
+        query_anchor_idx=np.arange(4), pt_anchor_idx=np.arange(4),
+        use_flash=True, use_fused_knn=True, use_fused_sampling=True,
+    )
+    mlvl = jnp.asarray(rs.randn(B, V, H, W, C).astype(np.float32))
+    vm = jnp.ones((B, V), bool)
+    intr = jnp.tile(jnp.eye(3)[None, None] * 50, (B, V, 1, 1))
+    extr = jnp.tile(jnp.eye(4)[None, None], (B, V, 1, 1))
+    ref = jnp.asarray(rs.randn(B, 21, 3).astype(np.float32) * 0.02)
+    rng = jax.random.PRNGKey(0)
+    variables = head.init(
+        {"params": rng, "dropout": rng}, mlvl, vm, intr, extr, ref,
+        inp_res=(64, 64), deterministic=False,
+    )
+
+    def loss(params):
+        out = head.apply(
+            {"params": params}, mlvl, vm, intr, extr, ref,
+            inp_res=(64, 64), deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        return jnp.sum(out["all_coords_preds"] ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)

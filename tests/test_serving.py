@@ -41,6 +41,20 @@ def test_predictor_end_to_end():
                 np.asarray(batch["cam_extr"])[:, :3])
     assert np.isfinite(out8["joints_3d"]).all()
 
+    # batch bucketing: ragged batch sizes share one padded compile and
+    # padded rows never leak into the outputs
+    b4 = tiny_batch(batch_size=4, view_max=3, image_size=64, random_views=False)
+    img4 = np.asarray(b4["image"])[:, :3]
+    ki4 = np.asarray(b4["cam_intr"])[:, :3]
+    ke4 = np.asarray(b4["cam_extr"])[:, :3]
+    out4 = pred(img4, ki4, ke4)
+    n_compiled = len(pred._compiled)
+    out3 = pred(img4[:3], ki4[:3], ke4[:3])  # pads 3 -> bucket 4
+    assert len(pred._compiled) == n_compiled  # reused the B4 compile
+    assert out3["joints_3d"].shape == (3, 21, 3)
+    np.testing.assert_allclose(out3["joints_3d"], out4["joints_3d"][:3],
+                               atol=1e-5, rtol=1e-5)
+
 
 def test_demo_cli(tmp_path, monkeypatch):
     import pytest
