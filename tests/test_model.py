@@ -339,3 +339,27 @@ def test_use_flash_train_flag_plumbs(monkeypatch):
                 x, kv, deterministic=False)
     out = a.apply(vs, x, kv, deterministic=False, rngs={"dropout": jax.random.PRNGKey(4)})
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_adapt_pos3d_factored_equals_conv_on_concat():
+    """AdaptPos3D (factored sine-PE projection) == 1x1 conv on the full
+    (B, V, H, W, 3F) embedding, with an identical parameter tree."""
+    import flax.linen as fnn
+    from poem_v2_tpu.models.heads.ptemb_head import AdaptPos3D
+    from poem_v2_tpu.models.positional import (
+        sine_positional_encoding_3d,
+        sine_positional_encoding_3d_factors,
+    )
+
+    with jax.default_matmul_precision("highest"):
+        rs = np.random.RandomState(0)
+        B, V, H, W, F, C = 2, 4, 8, 8, 32, 64
+        vm = jnp.asarray(rs.rand(B, V) > 0.3).at[:, 0].set(True)
+        mod = AdaptPos3D(C, F)
+        pn, py, px = sine_positional_encoding_3d_factors(vm, H, W, num_feats=F)
+        params = mod.init(jax.random.PRNGKey(0), pn, py, px)
+        got = mod.apply(params, pn, py, px)
+        full = sine_positional_encoding_3d(vm, H, W, num_feats=F)
+        ref = fnn.Conv(C, (1, 1)).apply({"params": params["params"]}, full)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
