@@ -90,10 +90,11 @@ def _kernel(
 
     def chunk_body(c, carry):
         d2, m_acc, s_acc, o_acc = carry
-        # exact next-CJ nearest: rounds of (min, first-index-of-min, mask)
+        # exact next-CJ nearest: rounds of (argmin, one-hot, mask) —
+        # lax.argmin is a single fused reduction with lowest-index tie
+        # break, replacing the old min + where-col-min pass pair
         for jj in range(CJ):
-            m = jnp.min(d2, axis=1, keepdims=True)                 # (BQ, 1)
-            idx_j = jnp.min(jnp.where(d2 <= m, col, N), axis=1)    # (BQ,)
+            idx_j = jnp.argmin(d2, axis=1)                         # (BQ,)
             hit = col == idx_j[:, None]                            # (BQ, N)
             # neighbour-major layout: row jj * BQ + q <-> neighbour jj
             oh_ref[pl.ds(jj * BQ, BQ)] = hit.astype(oh_ref.dtype)
