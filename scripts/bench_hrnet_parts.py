@@ -88,11 +88,6 @@ def main():
             report(f"HRModule {tag} ({nb} branches) x{BN}", t)
 
     if args.what in ("all", "stem"):
-        from poem_v2_tpu.models.backbones.hrnet import HRNet
-
-        class StemOnly(HRNet):
-            pass
-
         import flax.linen as nn
         from poem_v2_tpu.models.backbones.resnet import Bottleneck, make_norm
 

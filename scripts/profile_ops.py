@@ -178,7 +178,6 @@ def main():
     i_cat = col("hlo category") or col("category")
     i_bound = col("bound by")
     i_gfs = col("normalized gflop/s")
-    i_occ = col("#occurrences")
     rows.sort(key=lambda r: -(r[i_time] or 0))
     total = sum(r[i_time] or 0 for r in rows)
     print(f"total device self-time: {total/1e3:.3f} ms over {args.iters} iters "
