@@ -50,21 +50,36 @@ def main():
 
     import jax.numpy as jnp
 
-    from __graft_entry__ import _tiny_cfg
     from poem_v2_tpu.data import SyntheticMultiviewDataset
     from poem_v2_tpu.models.poem import create_poem_model
+    from poem_v2_tpu.utils.config import Config
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
-    cfg = _tiny_cfg(embed=256, nsample=4096, backbone=args.backbone)
+    # the benched model is built from the SAME release recipe the eval CLI
+    # uses (reference config/release/train_medium.yaml via scripts/
+    # eval_single.py:38-39) so the bench cannot drift from the parity target
+    yaml_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "configs", "release", "train_medium.yaml"
+    )
+    full_cfg = Config.from_yaml(yaml_path)
+    cfg = full_cfg.MODEL
+    tr = cfg.HEAD.TRANSFORMER
+    assert (
+        cfg.BACKBONE.TYPE == "HRNet"
+        and cfg.BACKBONE.WIDTH == 40
+        and tr.N_BLOCKS == 3
+        and tr.N_NEIGHBOR == 32
+        and tr.N_NEIGHBOR_QUERY == 32
+        and cfg.HEAD.N_SAMPLE == 4096
+        and cfg.HEAD.EMBED_DIMS == 256
+        and full_cfg.DATA_PRESET.IMAGE_SIZE == [256, 256]
+    ), "release recipe drifted from the benched flagship contract"
+    if args.backbone != cfg.BACKBONE.TYPE:  # explicit tier override only
+        cfg.BACKBONE.TYPE = args.backbone
+        if args.backbone.lower().startswith("resnet"):
+            cfg.HEAD.IN_CHANNELS = 256
     cfg.BACKBONE.NORM = args.norm
-    if args.backbone == "HRNet":
-        cfg.BACKBONE.WIDTH = 40
-        cfg.HEAD.IN_CHANNELS = 160
-    cfg.HEAD.TRANSFORMER.N_BLOCKS = 3
-    cfg.HEAD.TRANSFORMER.N_NEIGHBOR = 32
-    cfg.HEAD.TRANSFORMER.N_NEIGHBOR_QUERY = 32
-    cfg.HEAD.POSITIONAL_ENCODING.NUM_FEATS = 128
     model, aux = create_poem_model(cfg, dtype=dtype)
 
     def run_at_batch(bs: int) -> float:
@@ -132,8 +147,8 @@ def main():
         "value": round(best, 2),
         "unit": "frames/s",
         "vs_baseline": round(best / 500.0, 4),
-        "config": f"{args.backbone} bf16 batch{args.batch_size or 'auto'} "
-                  f"{args.views}view 4096bps 3blocks 256d",
+        "config": f"configs/release/train_medium.yaml ({args.backbone} {args.dtype} "
+                  f"batch{args.batch_size or 'auto'} {args.views}view 4096bps 3blocks 256d)",
     }
     print(json.dumps(result))
 

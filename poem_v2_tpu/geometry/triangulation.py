@@ -43,10 +43,13 @@ def jacobi_eigh_4x4(
         app = a[..., p, p]
         aqq = a[..., q, q]
         apq = a[..., p, q]
-        # stable rotation: t = sign(tau) / (|tau| + sqrt(1 + tau^2))
+        # stable rotation: t = sgn(tau) / (|tau| + sqrt(1 + tau^2)), with the
+        # tie-safe sgn(0) := +1 so app == aqq (tau == 0) still rotates by 45
+        # degrees instead of silently skipping the annihilation
         small = jnp.abs(apq) <= 1e-30 * (jnp.abs(app) + jnp.abs(aqq) + 1e-30)
         tau = (aqq - app) / jnp.where(small, 1.0, 2.0 * apq)
-        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        sgn = jnp.where(tau >= 0, 1.0, -1.0).astype(f32)
+        t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
         t = jnp.where(small, 0.0, t)
         c = 1.0 / jnp.sqrt(1.0 + t * t)
         s = t * c
@@ -117,8 +120,8 @@ def triangulate_dlt(
     ata = jnp.einsum("bjrk,bjrl->bjkl", a, a, precision="highest")  # (B, J, 4, 4)
     eigvals, eigvecs = jacobi_eigh_4x4(ata)
     # select the eigenvector of the smallest eigenvalue (Jacobi output is
-    # unsorted) with a branchless one-hot contraction
+    # unsorted); take_along_axis is an exact pick — a one-hot matmul would
+    # round the small homogeneous w component at default TPU precision
     sel = jnp.argmin(eigvals, axis=-1)  # (B, J)
-    onehot = jax.nn.one_hot(sel, 4, dtype=eigvecs.dtype)  # (B, J, 4)
-    x = jnp.einsum("bjkl,bjl->bjk", eigvecs, onehot)  # (B, J, 4)
+    x = jnp.take_along_axis(eigvecs, sel[..., None, None], axis=-1)[..., 0]  # (B, J, 4)
     return x[..., :3] / (x[..., 3:] + eps)

@@ -238,7 +238,9 @@ def create_poem_model(
     # checkpoints are coupled to them), deterministic generation otherwise
     bps, anchor_xyz, anchor_idx = load_static_assets(head_cfg, nsample, radius)
     mano_layer = ManoLayer(center_idx=transformer_center_idx)
-    mano_out = mano_layer(jnp.zeros((1, 48)), jnp.zeros((1, 10)))
+    # one jitted dispatch: running LBS eagerly costs ~100 op-by-op compiles
+    # (minutes over a tunneled device) for a value computed once at build
+    mano_out = jax.jit(mano_layer.__call__)(jnp.zeros((1, 48)), jnp.zeros((1, 10)))
     template = np.asarray(
         jnp.concatenate([mano_out.joints, mano_out.verts], axis=1)[0]
     )  # (799, 3), centered at joint 9
