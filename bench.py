@@ -37,6 +37,15 @@ def main():
         help="eval-parity default frozen_bn (the reference evaluates with frozen "
              "BatchNorm, which folds to a free affine); gn matches from-scratch training",
     )
+    parser.add_argument(
+        "--knn_bf16", action="store_true",
+        help="bf16 arg-min rounds in the fused KNN kernels (~2x the kernel's "
+             "dominant cost; near-exact selection, deviation in docs/performance.md)",
+    )
+    parser.add_argument(
+        "--knn_k", type=int, default=0,
+        help="override N_NEIGHBOR/N_NEIGHBOR_QUERY (0 = reference K=32)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -80,7 +89,10 @@ def main():
         if args.backbone.lower().startswith("resnet"):
             cfg.HEAD.IN_CHANNELS = 256
     cfg.BACKBONE.NORM = args.norm
-    model, aux = create_poem_model(cfg, dtype=dtype)
+    if args.knn_k:
+        tr.N_NEIGHBOR = args.knn_k
+        tr.N_NEIGHBOR_QUERY = args.knn_k
+    model, aux = create_poem_model(cfg, dtype=dtype, knn_bf16_dist=args.knn_bf16)
 
     def run_at_batch(bs: int) -> float:
         ds = SyntheticMultiviewDataset(

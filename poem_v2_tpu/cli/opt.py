@@ -27,9 +27,13 @@ def parse_exp_args(argv=None):
     p.add_argument("--mesh_data", type=int, default=None, help="data-parallel mesh size")
     p.add_argument("--mesh_model", type=int, default=1, help="model-parallel mesh size")
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
-    p.add_argument("--flash_train", action="store_true",
-                   help="flash attention in the training fwd+bwd (skips "
-                        "attention-prob dropout; ~23%% faster decoder bwd)")
+    p.add_argument("--flash_train", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="dense Pallas attention (custom VJP) in the training "
+                        "fwd+bwd — DEFAULT since round 3 (grad-parity-tested "
+                        "vs the einsum path); skips attention-prob dropout "
+                        "(PARITY.md deviation #4). --no-flash_train restores "
+                        "the reference-dropout einsum path")
     p.add_argument("--exact_knn", action="store_true",
                    help="exact lax.top_k KNN in the decoder (checkpoint-parity "
                         "evals; default approx_max_k, recall ~0.95)")

@@ -37,7 +37,7 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     model, aux = create_poem_model(
-        cfg.MODEL, dtype=dtype, use_flash_train=bool(getattr(args, 'flash_train', False)),
+        cfg.MODEL, dtype=dtype, use_flash_train=bool(getattr(args, 'flash_train', True)),
         exact_knn=bool(getattr(args, 'exact_knn', False)),
     )
     mesh = create_mesh(data=args.mesh_data, model=args.mesh_model)

@@ -22,53 +22,6 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
-def _flash_cross_attention(q, k, v, sm_scale: float):
-    """Pallas TPU flash attention for (B, Q, nh, hd) tensors.
-
-    Avoids materializing the (B, nh, Q, N) logits in HBM — at POEM sizes
-    (799 queries x 4096 BPS keys x 6 attentions/sample) that is the
-    decoder's main bandwidth cost. Q is padded to the kernel's block
-    multiple and un-padded afterwards.
-    """
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes,
-        flash_attention,
-    )
-
-    B, Q, nh, hd = q.shape
-    N = k.shape[1]
-    qt = jnp.swapaxes(q, 1, 2)  # (B, nh, Q, hd)
-    kt = jnp.swapaxes(k, 1, 2)
-    vt = jnp.swapaxes(v, 1, 2)
-
-    # one q block covering all (padded) queries: KV streams through VMEM
-    # exactly once per (batch, head). MEASURED (v5e, 799q x 4096kv x 4h):
-    # 2.10 ms vs 2.78 ms at block_q=128 (which re-reads KV per q block).
-    q_pad = (-Q) % 128
-    if q_pad:
-        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, q_pad), (0, 0)))
-    # block_q must divide the padded length; fall back to 128 when one
-    # block can't cover it
-    block_q = qt.shape[2] if qt.shape[2] <= 1024 else 128
-    bs = BlockSizes(
-        block_q=block_q,
-        block_k_major=min(1024, N),
-        block_k=min(1024, N),
-        block_b=1,
-        block_q_major_dkv=block_q,
-        block_k_major_dkv=min(1024, N),
-        block_k_dkv=min(1024, N),
-        block_q_dkv=block_q,
-        block_k_major_dq=min(1024, N),
-        block_k_dq=min(1024, N),
-        block_q_dq=block_q,
-    )
-    out = flash_attention(qt, kt, vt, sm_scale=sm_scale, block_sizes=bs)
-    if q_pad:
-        out = out[:, :, :Q]
-    return jnp.swapaxes(out, 1, 2)  # (B, Q, nh, hd)
-
-
 class MultiHeadCrossAttention(nn.Module):
     """BERT-style attention: MHA + output proj + dropout + residual + LayerNorm.
 
@@ -121,19 +74,19 @@ class MultiHeadCrossAttention(nn.Module):
             and (deterministic or self.use_flash_train)
             and kv_mask is None
         )
-        if use_flash and deterministic:
-            # eval: dense one-program-per-batch kernel — at POEM shapes
+        if use_flash:
+            # dense one-program-per-batch kernel — at POEM shapes
             # (896q x 4096kv x hd64) Q/K/V and the f32 logits all fit VMEM,
-            # measured ~4x faster than the streaming flash library kernel
+            # measured ~4x faster than the streaming flash library kernel.
+            # Differentiable (custom VJP with the same dense structure), so
+            # the ``use_flash_train`` path uses it too (attention-prob
+            # dropout skipped there — documented deviation #4).
             from ...ops.pallas_cross_attn import dense_cross_attention
 
             ctx = dense_cross_attention(
                 q.reshape(B, Q, h), k.reshape(B, N, h), v.reshape(B, N, h),
                 num_heads=nh, sm_scale=1.0 / float(hd) ** 0.5,
             ).astype(self.dtype)
-        elif use_flash:
-            ctx = _flash_cross_attention(q, k, v, sm_scale=1.0 / float(hd) ** 0.5)
-            ctx = ctx.reshape(B, Q, h).astype(self.dtype)
         else:
             logits = jnp.einsum("bqhd,bnhd->bhqn", q, k) / jnp.sqrt(hd).astype(self.dtype)
             if kv_mask is not None:

@@ -91,6 +91,7 @@ class PtSelfAttnBlock(nn.Module):
     approx_knn: bool = True  # TPU approx_max_k: ~4x faster top-k, recall ~0.95
     use_fused: bool = False  # Pallas fused attention core (eval path)
     use_fused_knn: bool = False  # Pallas fused KNN+gather+attention (eval)
+    knn_bf16_dist: bool = False  # bf16 arg-min rounds in the fused kernel
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -122,6 +123,7 @@ class PtSelfAttnBlock(nn.Module):
                 tuple(p.astype(self.dtype) for p in fc_delta),
                 tuple(p.astype(self.dtype) for p in fc_gamma),
                 n_neighbor=self.k, block_q=bq, chunk_j=cj,
+                bf16_dist=self.knn_bf16_dist,
             )
             return nn.Dense(self.d_points, dtype=self.dtype, name="fc2")(res) + pre
 
@@ -177,6 +179,7 @@ class PtCrossAttnBlock(nn.Module):
     approx_knn: bool = True
     use_fused: bool = False
     use_fused_knn: bool = False
+    knn_bf16_dist: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -208,6 +211,7 @@ class PtCrossAttnBlock(nn.Module):
                 tuple(p.astype(self.dtype) for p in fc_delta),
                 tuple(p.astype(self.dtype) for p in fc_gamma),
                 n_neighbor=self.k, block_q=bq, chunk_j=cj,
+                bf16_dist=self.knn_bf16_dist,
             )
             return nn.Dense(self.d_points, dtype=self.dtype, name="fc2")(res) + pre
 

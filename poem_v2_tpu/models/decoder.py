@@ -48,6 +48,7 @@ class PointerLayer(nn.Module):
     approx_knn: bool = True
     use_fused: bool = False
     use_fused_knn: bool = False
+    knn_bf16_dist: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -72,6 +73,7 @@ class PointerLayer(nn.Module):
             approx_knn=self.approx_knn,
             use_fused=self.use_fused,
             use_fused_knn=self.use_fused_knn,
+            knn_bf16_dist=self.knn_bf16_dist,
             dtype=self.dtype,
             name="query_self_attn",
         )(query_xyz, query_feat, anchor_idx=self_anchors, anchor_xyz=a_xyz)
@@ -83,6 +85,7 @@ class PointerLayer(nn.Module):
             approx_knn=self.approx_knn,
             use_fused=self.use_fused,
             use_fused_knn=self.use_fused_knn,
+            knn_bf16_dist=self.knn_bf16_dist,
             dtype=self.dtype,
             name="query_cross_attn",
         )(pt_xyz, pt_feats, query_xyz, query_feat, anchor_idx=cross_anchors, anchor_xyz=a_xyz)
@@ -105,6 +108,7 @@ class PointMetroBlock(nn.Module):
     deterministic: bool = True
     approx_knn: bool = True
     use_fused_knn: bool = False
+    knn_bf16_dist: bool = False
     use_flash: bool = False
     use_flash_train: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -144,6 +148,7 @@ class PointMetroBlock(nn.Module):
             init_block=self.init_block,
             approx_knn=self.approx_knn,
             use_fused_knn=self.use_fused_knn and self.deterministic,
+            knn_bf16_dist=self.knn_bf16_dist,
             use_fused=False,  # measured slower than the XLA fusion at POEM sizes
             dtype=self.dtype,
             name="vec_attn",
@@ -184,6 +189,7 @@ class PtEmbedDecoder(nn.Module):
     remat: bool = True
     approx_knn: bool = True
     use_fused_knn: bool = False
+    knn_bf16_dist: bool = False
     use_flash: bool = False
     use_flash_train: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -230,6 +236,7 @@ class PtEmbedDecoder(nn.Module):
                 deterministic=deterministic,
                 approx_knn=self.approx_knn,
                 use_fused_knn=self.use_fused_knn,
+                knn_bf16_dist=self.knn_bf16_dist,
                 use_flash=self.use_flash,
                 use_flash_train=self.use_flash_train,
                 dtype=self.dtype,

@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -148,6 +149,7 @@ class POEMGeneralizedHead(nn.Module):
     anchor_xyz: Optional[np.ndarray] = None  # (32, 3)
     approx_knn: bool = True  # False = exact lax.top_k KNN (checkpoint parity)
     use_fused_knn: bool = False  # Pallas fused exact-KNN attention (TPU eval)
+    knn_bf16_dist: bool = False  # bf16 arg-min rounds in the fused kernel
     use_fused_sampling: bool = False  # Pallas separable bilinear BPS sampler (TPU)
     mano_layer: Optional[object] = None  # ManoLayer for parametric output
     n_blocks: int = 3
@@ -215,8 +217,39 @@ class POEMGeneralizedHead(nn.Module):
             )  # (B*V, N, C)
         bps_feats = feats_flat.reshape(B, V, self.nsample, self.embed_dims)
 
+        # Reference-exact merge input layout: the torch head reshapes the
+        # (V, C, NS)-contiguous sampled tensor with `.view(1, -1, V, C)`
+        # (ptEmb_head.py:915-918), which SCRAMBLES (view, channel, sample)
+        # across the merge's (sample, view, channel) axes rather than
+        # permuting them. Released checkpoints are trained against this
+        # layout, so it is reproduced exactly:
+        #   scr[b, i, j, k] = flat(A_b)[i*n_b*C + j*C + k],
+        # A_b = the sample's valid-view (n_b, C, NS) block. Padded views
+        # sit at the tail of A's flattening, so valid indices never touch
+        # them; rows with j >= n_b alias later data but are excluded by
+        # the merge's view mask.
+        C = self.embed_dims
+        NS = self.nsample
+        # the scrambled positions are CONTIGUOUS C-element runs of the
+        # (V, C, NS) flat layout, so this is a row gather: row i*n_b + j of
+        # the flat layout viewed as (V*NS, C) rows. Rows with j >= n_b
+        # alias later data and are excluded by the merge's view mask.
+        # (Measured on v5e: this row gather costs ~7 ms/iter at B16V8 —
+        # the price of the reference's free-but-scrambling `.view`; a
+        # vmapped dynamic-slice formulation lowered catastrophically
+        # (+120 ms) and per-element indices cost +10 ms compile-heavy.)
+        a_rows = jnp.swapaxes(bps_feats, 2, 3).reshape(B, V * NS, C)
+        n_val = jnp.sum(view_mask.astype(jnp.int32), axis=1)  # (B,)
+        r = (
+            jnp.arange(NS, dtype=jnp.int32)[None, :, None] * n_val[:, None, None]
+            + jnp.arange(V, dtype=jnp.int32)[None, None, :]
+        )  # (B, NS, V)
+        r = jnp.minimum(r, V * NS - 1)
+        scr = jnp.take_along_axis(
+            a_rows, r.reshape(B, NS * V)[..., None], axis=1
+        ).reshape(B, NS, V, C)
         merged = MergeFeaturesMV(self.embed_dims, dtype=self.dtype, name="merge_feature")(
-            bps_feats, view_mask
+            jnp.swapaxes(scr, 1, 2), view_mask
         )  # (B, N, C)
 
         # ---- queries ------------------------------------------------------
@@ -278,6 +311,7 @@ class POEMGeneralizedHead(nn.Module):
             parametric_output=self.parametric_output,
             approx_knn=self.approx_knn,
             use_fused_knn=self.use_fused_knn,
+            knn_bf16_dist=self.knn_bf16_dist,
             use_flash=self.use_flash,
             use_flash_train=self.use_flash_train,
             remat=self.remat,

@@ -200,7 +200,8 @@ def _default_use_flash() -> bool:
 
 def create_poem_model(
     cfg: Config, dtype=jnp.float32, use_flash: bool = None, remat: bool = True,
-    use_flash_train: bool = False, exact_knn: bool = False
+    use_flash_train: bool = True, exact_knn: bool = False,
+    knn_bf16_dist: bool = False
 ) -> Tuple[POEMNet, Dict[str, Any]]:
     """Build a POEMNet + auxiliary constants from a reference-schema config.
 
@@ -274,6 +275,7 @@ def create_poem_model(
         anchor_xyz=anchor_xyz,
         approx_knn=not exact_knn,
         use_fused_knn=use_flash,  # same condition: Pallas lowers on real TPUs
+        knn_bf16_dist=knn_bf16_dist,
         use_fused_sampling=use_flash,
         mano_layer=mano_layer if parametric else None,
         n_blocks=tr_cfg.N_BLOCKS,

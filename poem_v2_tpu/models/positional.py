@@ -53,14 +53,20 @@ def sine_positional_encoding_3d_factors(
     i = jnp.arange(num_feats, dtype=dtype)
     dim_t = temperature ** (2.0 * jnp.floor(i / 2.0) / num_feats)  # (F,)
 
-    def interleave_sin_cos(vals):  # vals (..., F)
+    def blocked_sin_cos(vals):  # vals (..., F)
+        # NOT the classic interleave: the reference's 3D variant stacks at
+        # dim=4 of the 5D (B, N, H, W, F/2) tensor (petr_transformer.py:
+        # 466-468) — a quirk inherited from the 2D encoding where dim=4
+        # interleaved; on the 5D tensor it produces the BLOCKED layout
+        # [sin(f0), sin(f2), ..., cos(f1), cos(f3), ...]. Converted
+        # checkpoints are coupled to this channel order.
         sin = jnp.sin(vals[..., 0::2])
         cos = jnp.cos(vals[..., 1::2])
-        return jnp.stack([sin, cos], axis=-1).reshape(vals.shape[:-1] + (num_feats,))
+        return jnp.concatenate([sin, cos], axis=-1)
 
-    pos_n = interleave_sin_cos(n_embed[..., None] / dim_t)  # (B, V, F)
-    pos_y = interleave_sin_cos(y_embed[..., None] / dim_t)  # (B, V, H, F)
-    pos_x = interleave_sin_cos(x_embed[..., None] / dim_t)  # (B, V, W, F)
+    pos_n = blocked_sin_cos(n_embed[..., None] / dim_t)  # (B, V, F)
+    pos_y = blocked_sin_cos(y_embed[..., None] / dim_t)  # (B, V, H, F)
+    pos_x = blocked_sin_cos(x_embed[..., None] / dim_t)  # (B, V, W, F)
     return pos_n, pos_y, pos_x
 
 

@@ -60,22 +60,68 @@ def _kernel(
         ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "sm_scale", "interpret"))
-def dense_cross_attention(
-    q: jnp.ndarray,  # (B, M, H)
-    k: jnp.ndarray,  # (B, N, H)
-    v: jnp.ndarray,  # (B, N, H)
-    num_heads: int = 4,
-    sm_scale: float = 0.125,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """softmax(q_h k_h^T * sm_scale) v_h per head; returns (B, M, H)."""
+def _bwd_kernel(
+    q_ref, kt_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, p_ref, dl_ref,
+    *, num_heads: int, sm_scale: float, n_valid: int,
+):
+    """Per-batch-element dense backward: recompute P head-by-head in VMEM,
+    then dV = P^T dO, dL = P * (dO V^T - rowsum(dO V^T * P)) * scale,
+    dQ = dL K, dK = dL^T Q. Same one-program-per-batch structure as the
+    forward — everything per-pair lives in the two f32 scratch tiles."""
+    f32 = jnp.float32
+    H = q_ref.shape[2]
+    Np = kt_ref.shape[2]
+    hd = H // num_heads
+    pad_mask = None
+    if n_valid != Np:
+        col = jax.lax.broadcasted_iota(jnp.int32, (p_ref.shape[0], Np), 1)
+        pad_mask = col >= n_valid
+
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        logits = jax.lax.dot_general(
+            q_ref[0, :, sl], kt_ref[0, sl, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        ) * sm_scale
+        if pad_mask is not None:
+            logits = jnp.where(pad_mask, -jnp.inf, logits)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p_ref[...] = e / jnp.sum(e, axis=1, keepdims=True)        # P (M, N)
+
+        do_h = do_ref[0, :, sl]                                    # (M, hd)
+        # dV_h = P^T dO_h  (contract M)
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            p_ref[...].astype(do_h.dtype), do_h,
+            (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        ).astype(dv_ref.dtype)
+        # dP = dO_h V_h^T  (M, N)
+        dl_ref[...] = jax.lax.dot_general(
+            do_h, v_ref[0, :, sl],
+            (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        )
+        # dL = P * (dP - rowsum(dP * P)) * scale
+        r = jnp.sum(dl_ref[...] * p_ref[...], axis=1, keepdims=True)
+        dl_ref[...] = p_ref[...] * (dl_ref[...] - r) * sm_scale
+        # dQ_h = dL K_h  (contract N against kt (hd, N))
+        dlc = dl_ref[...].astype(q_ref.dtype)
+        dq_ref[0, :, sl] = jax.lax.dot_general(
+            dlc, kt_ref[0, sl, :],
+            (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        ).astype(dq_ref.dtype)
+        # dK_h = dL^T Q_h  (contract M)
+        dk_ref[0, :, sl] = jax.lax.dot_general(
+            dlc, q_ref[0, :, sl],
+            (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        ).astype(dk_ref.dtype)
+
+
+def _dense_attn_pad(q, k, v):
     B, M, H = q.shape
     N = k.shape[1]
     m_pad = (-M) % 128
     if m_pad:
         q = jnp.pad(q, ((0, 0), (0, m_pad), (0, 0)))
-    Mp = M + m_pad
     # K is consumed transposed (H, N): lanes carry the 4096 keys and the
     # 64-wide head slice sits on sublanes, so the QK dot needs no in-kernel
     # transpose. N is a 128-multiple at POEM sizes; pad defensively.
@@ -86,8 +132,13 @@ def dense_cross_attention(
         # subtraction, keeping padded keys weightless.
         k = jnp.pad(k, ((0, 0), (0, n_pad), (0, 0)), constant_values=-1e4)
         v = jnp.pad(v, ((0, 0), (0, n_pad), (0, 0)))
-    Np = N + n_pad
+    return q, k, v, M + m_pad, N + n_pad
 
+
+def _fwd_impl(q, k, v, num_heads, sm_scale, interpret):
+    B, M, H = q.shape
+    N = k.shape[1]
+    q, k, v, Mp, Np = _dense_attn_pad(q, k, v)
     out = pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, sm_scale=sm_scale, n_valid=N),
         grid=(B,),
@@ -105,3 +156,73 @@ def dense_cross_attention(
         interpret=interpret,
     )(q, jnp.swapaxes(k, 1, 2), v)
     return out[:, :M]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _dense_cross_attention(q, k, v, num_heads, sm_scale, interpret):
+    return _fwd_impl(q, k, v, num_heads, sm_scale, interpret)
+
+
+def _dense_fwd(q, k, v, num_heads, sm_scale, interpret):
+    return _fwd_impl(q, k, v, num_heads, sm_scale, interpret), (q, k, v)
+
+
+def _dense_bwd(num_heads, sm_scale, interpret, res, do):
+    q, k, v = res
+    B, M, H = q.shape
+    N = k.shape[1]
+    qp, kp, vp, Mp, Np = _dense_attn_pad(q, k, v)
+    dop = jnp.pad(do, ((0, 0), (0, Mp - M), (0, 0))) if Mp != M else do
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, num_heads=num_heads, sm_scale=sm_scale, n_valid=N
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Mp, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, Np), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Mp, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Mp, H), q.dtype),
+            jax.ShapeDtypeStruct((B, Np, H), k.dtype),
+            jax.ShapeDtypeStruct((B, Np, H), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Mp, Np), jnp.float32),
+            pltpu.VMEM((Mp, Np), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qp, jnp.swapaxes(kp, 1, 2), vp, dop)
+    return dq[:, :M], dk[:, :N], dv[:, :N]
+
+
+_dense_cross_attention.defvjp(_dense_fwd, _dense_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "sm_scale", "interpret"))
+def dense_cross_attention(
+    q: jnp.ndarray,  # (B, M, H)
+    k: jnp.ndarray,  # (B, N, H)
+    v: jnp.ndarray,  # (B, N, H)
+    num_heads: int = 4,
+    sm_scale: float = 0.125,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """softmax(q_h k_h^T * sm_scale) v_h per head; returns (B, M, H).
+
+    Differentiable: carries a custom VJP whose backward is the same
+    one-program-per-batch dense kernel (P recomputed in VMEM, dV/dQ/dK on
+    the MXU) — the training path can use this instead of the streaming
+    flash-library kernel.
+    """
+    return _dense_cross_attention(q, k, v, num_heads, sm_scale, interpret)

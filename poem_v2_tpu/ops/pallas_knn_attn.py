@@ -58,10 +58,20 @@ def _kernel(
     *,
     n_neighbor: int,
     chunk_j: int,
+    dist_dtype=jnp.float32,
+    packed_keys: bool = False,
 ):
     """Flash-style over the K axis: each CJ-neighbour chunk is gathered,
     projected and scored, then folded into online per-channel softmax
-    accumulators — nothing K-sized stays live in VMEM."""
+    accumulators — nothing K-sized stays live in VMEM.
+
+    ``dist_dtype=bfloat16`` halves the VMEM traffic of the serial arg-min
+    rounds — the kernel's dominant cost (per round: read+mask-write the
+    (BQ, N) distance matrix + write a one-hot row block ≈ 2.5 MB at f32;
+    ~61 us/program ≈ the whole measured kernel time at POEM sizes). The
+    selection can then differ from exact f32 KNN only for neighbours
+    whose squared distances agree within bf16 eps (measured end-to-end
+    deviation: see docs/performance.md)."""
     K = n_neighbor
     CJ = chunk_j
     BQ = q_ref.shape[1]
@@ -83,22 +93,14 @@ def _kernel(
         jnp.sum(qxyz * qxyz, axis=1, keepdims=True)
         + jnp.sum(ptxyz_t * ptxyz_t, axis=0)[None, :]
         - 2.0 * cross
-    )
+    ).astype(dist_dtype)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (BQ, N), 1)
     inv_sqrt_d = 1.0 / jnp.sqrt(f32(D))
 
-    def chunk_body(c, carry):
-        d2, m_acc, s_acc, o_acc = carry
-        # exact next-CJ nearest: rounds of (argmin, one-hot, mask) —
-        # lax.argmin is a single fused reduction with lowest-index tie
-        # break, replacing the old min + where-col-min pass pair
-        for jj in range(CJ):
-            idx_j = jnp.argmin(d2, axis=1)                         # (BQ,)
-            hit = col == idx_j[:, None]                            # (BQ, N)
-            # neighbour-major layout: row jj * BQ + q <-> neighbour jj
-            oh_ref[pl.ds(jj * BQ, BQ)] = hit.astype(oh_ref.dtype)
-            d2 = jnp.where(hit, jnp.inf, d2)
+    def fold_chunk(m_acc, s_acc, o_acc):
+        """Gather the CJ one-hot rows in oh_ref, run the attention math,
+        fold into the online per-channel softmax accumulators."""
         ohc = oh_ref[...]                                          # (CJ*BQ, N)
 
         # gather-as-matmul against the VMEM-resident cloud
@@ -155,17 +157,76 @@ def _kernel(
         e = jnp.exp(g - m_new[None])                               # (CJ, BQ, D)
         s_acc = s_acc * scale + jnp.sum(e, axis=0)
         o_acc = o_acc * scale + jnp.sum(e * v, axis=0)
-        return d2, m_new, s_acc, o_acc
+        return m_new, s_acc, o_acc
 
-    # fori_loop (not an unrolled Python loop) so the compiler reuses one
-    # d2/accumulator buffer set across chunks instead of keeping K live
-    # (BQ, N) versions of the masked distance matrix
-    init = (
-        d2,
+    acc0 = (
         jnp.full((BQ, D), -jnp.inf, f32),
         jnp.zeros((BQ, D), f32),
         jnp.zeros((BQ, D), f32),
     )
+
+    if packed_keys:
+        # (distance, column) packed into ONE f32 key: the column index
+        # replaces the 12 low mantissa bits, so (a) every key is unique
+        # and ties break to the lowest index, and (b) the K selection
+        # rounds become READ-ONLY threshold scans over an immutable key
+        # matrix — no masked rewrite of d2 and no serial (BQ, N) carry,
+        # only a (BQ, 1) running threshold. Selection matches exact f32
+        # KNN except for neighbours whose squared distances agree to
+        # <2^-11 relative (sub-bf16 ties); deviation gated end-to-end in
+        # scripts/check_fused_parity.py. d2 >= 0 keeps i32 order == f32
+        # order (clamp kills the tiny negative cancellation residue).
+        assert N <= (1 << 12), N  # 12 low mantissa bits hold the column
+        d2i = jax.lax.bitcast_convert_type(jnp.maximum(d2, 0.0), jnp.int32)
+        keys = jax.lax.bitcast_convert_type((d2i & ~0xFFF) | (col & 0xFFF), f32)
+
+        def chunk_body_keys(c, carry):
+            thr, m_acc, s_acc, o_acc = carry
+            for jj in range(CJ):
+                thr = jnp.min(
+                    jnp.where(keys > thr, keys, jnp.inf), axis=1, keepdims=True
+                )  # (BQ, 1)
+                idx_j = jax.lax.bitcast_convert_type(thr, jnp.int32) & 0xFFF
+                oh_ref[pl.ds(jj * BQ, BQ)] = (col == idx_j).astype(oh_ref.dtype)
+            m_acc, s_acc, o_acc = fold_chunk(m_acc, s_acc, o_acc)
+            return thr, m_acc, s_acc, o_acc
+
+        init = (jnp.full((BQ, 1), -jnp.inf, f32),) + acc0
+        _, m_acc, s_acc, o_acc = jax.lax.fori_loop(
+            0, K // CJ, chunk_body_keys, init
+        )
+        out_ref[0] = (o_acc / s_acc).astype(out_ref.dtype)
+        return
+
+    def chunk_body(c, carry):
+        d2, m_acc, s_acc, o_acc = carry
+        # exact next-CJ nearest: rounds of (argmin, one-hot, mask) —
+        # lax.argmin is a single fused reduction with lowest-index tie
+        # break, replacing the old min + where-col-min pass pair. Mosaic's
+        # argmin lowering is f32-only, so the bf16 rounds run on a fused
+        # f32 view (measured: no faster than f32 — kept only as the
+        # documented negative result; see docs/performance.md).
+        for jj in range(CJ):
+            if d2.dtype == jnp.float32:
+                idx_j = jnp.argmin(d2, axis=1)                     # (BQ,)
+                hit = col == idx_j[:, None]                        # (BQ, N)
+                # neighbour-major layout: row jj * BQ + q <-> neighbour jj
+                oh_ref[pl.ds(jj * BQ, BQ)] = hit.astype(oh_ref.dtype)
+                d2 = jnp.where(hit, jnp.inf, d2)
+            else:
+                idx_j = jnp.argmin(d2.astype(jnp.float32), axis=1)
+                hit = col == idx_j[:, None]
+                oh_ref[pl.ds(jj * BQ, BQ)] = hit.astype(oh_ref.dtype)
+                d2 = jnp.where(
+                    hit, jnp.inf, d2.astype(jnp.float32)
+                ).astype(jnp.bfloat16)
+        m_acc, s_acc, o_acc = fold_chunk(m_acc, s_acc, o_acc)
+        return d2, m_acc, s_acc, o_acc
+
+    # fori_loop (not an unrolled Python loop) so the compiler reuses one
+    # d2/accumulator buffer set across chunks instead of keeping K live
+    # (BQ, N) versions of the masked distance matrix
+    init = (d2,) + acc0
     _, m_acc, s_acc, o_acc = jax.lax.fori_loop(0, K // CJ, chunk_body, init)
 
     out_ref[0] = (o_acc / s_acc).astype(out_ref.dtype)
@@ -699,7 +760,10 @@ def fused_anchor_vector_attention(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_neighbor", "block_q", "chunk_j", "interpret")
+    jax.jit,
+    static_argnames=(
+        "n_neighbor", "block_q", "chunk_j", "interpret", "bf16_dist", "packed_keys",
+    ),
 )
 def fused_knn_vector_attention(
     q: jnp.ndarray,          # (B, M, D) w_qs(query_feat)
@@ -714,6 +778,8 @@ def fused_knn_vector_attention(
     block_q: int = 128,
     chunk_j: int = 4,
     neighbor_idx: jnp.ndarray = None,  # (B, M, K) int32 precomputed exact KNN
+    bf16_dist: bool = False,  # bf16 arg-min rounds (negative result; kept for bench)
+    packed_keys: bool = True,  # read-only threshold-scan selection (see _kernel)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused pointer-stage attention; returns (B, M, D) like
@@ -759,7 +825,10 @@ def fused_knn_vector_attention(
         in_specs.append(blkspec((1, block_q, K)))
         inputs.append(neighbor_idx.astype(jnp.int32))
     else:
-        kernel = functools.partial(_kernel, n_neighbor=K, chunk_j=chunk_j)
+        kernel = functools.partial(
+            _kernel, n_neighbor=K, chunk_j=chunk_j,
+            dist_dtype=jnp.bfloat16 if bf16_dist else jnp.float32,
+            packed_keys=packed_keys and not bf16_dist and Np <= (1 << 12))
     in_specs += [
         pl.BlockSpec((1, 3, Np), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, Np, D), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),

@@ -19,10 +19,11 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--views", type=int, default=8)
     p.add_argument("--iters", type=int, default=20)
-    p.add_argument("--backbone", type=str, default="resnet34")
+    p.add_argument("--backbone", type=str, default="HRNet")
     p.add_argument("--dtype", type=str, default="bf16")
     p.add_argument("--no-remat", action="store_true")
-    p.add_argument("--flash-train", action="store_true")
+    p.add_argument("--flash-train", action=argparse.BooleanOptionalAction,
+                   default=True)
     args = p.parse_args()
 
     import jax
@@ -38,18 +39,25 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from __graft_entry__ import _tiny_cfg
     from poem_v2_tpu.data import SyntheticMultiviewDataset
     from poem_v2_tpu.models.poem import create_poem_model
     from poem_v2_tpu.parallel.mesh import create_mesh
     from poem_v2_tpu.training.trainer import Trainer
+    from poem_v2_tpu.utils.config import Config
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    cfg = _tiny_cfg(embed=256, nsample=4096, backbone=args.backbone)
-    cfg.HEAD.TRANSFORMER.N_BLOCKS = 3
-    cfg.HEAD.TRANSFORMER.N_NEIGHBOR = 32
-    cfg.HEAD.TRANSFORMER.N_NEIGHBOR_QUERY = 32
-    cfg.HEAD.POSITIONAL_ENCODING.NUM_FEATS = 128
+    # same release recipe as bench.py/the eval CLI (from-scratch training
+    # keeps the recipe's gn norm)
+    yaml_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                             "configs", "release", "train_medium.yaml")
+    full_cfg = Config.from_yaml(yaml_path)
+    cfg = full_cfg.MODEL
+    cfg.TRAIN = full_cfg.TRAIN
+    cfg.DATA_PRESET = full_cfg.DATA_PRESET
+    if args.backbone != cfg.BACKBONE.TYPE:
+        cfg.BACKBONE.TYPE = args.backbone
+        if args.backbone.lower().startswith("resnet"):
+            cfg.HEAD.IN_CHANNELS = 256
     model, aux = create_poem_model(cfg, dtype=dtype, remat=not args.no_remat,
                                    use_flash_train=args.flash_train)
 

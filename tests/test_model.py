@@ -188,12 +188,16 @@ class TestSinePE:
         x_embed = x_embed / (x_embed[:, :, :, -1:] + eps) * scale
         dim_t = 10000 ** (2 * (np.arange(F) // 2) / F)
 
-        def ilv(v):
+        def blk(v):
+            # BLOCKED [sins, coss] layout: the reference's 3D variant
+            # stacks at dim=4 of its 5D tensor (petr_transformer.py:466),
+            # which does NOT interleave like the 2D encoding — verified
+            # against the actual torch module in test_parity_full_model.
             vals = v[..., None] / dim_t
             sin, cos = np.sin(vals[..., 0::2]), np.cos(vals[..., 1::2])
-            return np.stack([sin, cos], -1).reshape(v.shape + (F,))
+            return np.concatenate([sin, cos], -1)
 
-        want = np.concatenate([ilv(n_embed), ilv(y_embed), ilv(x_embed)], -1)
+        want = np.concatenate([blk(n_embed), blk(y_embed), blk(x_embed)], -1)
         # compare only valid views (padded views are masked downstream)
         for b in range(B):
             nv = vm[b].sum()

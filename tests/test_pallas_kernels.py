@@ -367,3 +367,90 @@ def test_train_mode_avoids_vjp_less_kernels():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_fused_knn_packed_keys_matches_argmin_rounds():
+    """packed-key threshold-scan selection == serial arg-min selection.
+
+    The packed key replaces the 12 low mantissa bits of d2 with the
+    column index (unique keys, lowest-index tie break, read-only rounds);
+    on generic random clouds the selected sets — and therefore the
+    outputs — are identical to the arg-min rounds."""
+    from poem_v2_tpu.ops.pallas_knn_attn import fused_knn_vector_attention
+
+    with jax.default_matmul_precision("highest"):
+        rs = np.random.RandomState(11)
+        B, M, N, D, K = 2, 67, 200, 64, 8
+        mk = lambda *s: jnp.asarray(rs.randn(*s).astype(np.float32))
+        q, qxyz, ptxyz, x_full = mk(B, M, D), mk(B, M, 3), mk(B, N, 3), mk(B, N, D)
+        wk, wv = mk(D, D) / 8, mk(D, D) / 8
+        fcd = (mk(3, D), mk(D), mk(D, D) / 8, mk(D))
+        fcg = (mk(D, D) / 8, mk(D), mk(D, D) / 8, mk(D))
+        ref = fused_knn_vector_attention(
+            q, qxyz, ptxyz, x_full, wk, wv, fcd, fcg,
+            n_neighbor=K, block_q=16, chunk_j=4, packed_keys=False, interpret=True)
+        out = fused_knn_vector_attention(
+            q, qxyz, ptxyz, x_full, wk, wv, fcd, fcg,
+            n_neighbor=K, block_q=16, chunk_j=4, packed_keys=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_knn_packed_keys_duplicate_points_tie_break():
+    """Exact duplicate cloud points (hard ties) select identically under
+    packed keys and arg-min rounds: both break to the lowest index."""
+    from poem_v2_tpu.ops.pallas_knn_attn import fused_knn_vector_attention
+
+    with jax.default_matmul_precision("highest"):
+        rs = np.random.RandomState(3)
+        B, M, N, D, K = 1, 16, 64, 32, 8
+        base = rs.randn(N // 2, 3).astype(np.float32)
+        ptxyz = jnp.asarray(np.concatenate([base, base]))[None]  # every point duplicated
+        mk = lambda *s: jnp.asarray(rs.randn(*s).astype(np.float32))
+        q, qxyz, x_full = mk(B, M, D), mk(B, M, 3), mk(B, N, D)
+        wk, wv = mk(D, D) / 8, mk(D, D) / 8
+        fcd = (mk(3, D), mk(D), mk(D, D) / 8, mk(D))
+        fcg = (mk(D, D) / 8, mk(D), mk(D, D) / 8, mk(D))
+        ref = fused_knn_vector_attention(
+            q, qxyz, ptxyz, x_full, wk, wv, fcd, fcg,
+            n_neighbor=K, block_q=16, chunk_j=4, packed_keys=False, interpret=True)
+        out = fused_knn_vector_attention(
+            q, qxyz, ptxyz, x_full, wk, wv, fcd, fcg,
+            n_neighbor=K, block_q=16, chunk_j=4, packed_keys=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_dense_cross_attention_grads_match_einsum():
+    """The dense attention kernel's custom VJP == autodiff of the einsum
+    softmax(QK^T)V at fp32 — the grad-parity gate for making the kernel
+    the default training attention (VERDICT r2 #4)."""
+    from poem_v2_tpu.ops.pallas_cross_attn import dense_cross_attention
+
+    with jax.default_matmul_precision("highest"):
+        rs = np.random.RandomState(5)
+        B, M, N, H, nh = 2, 67, 150, 64, 4
+        mk = lambda *s: jnp.asarray(rs.randn(*s).astype(np.float32))
+        q, k, v = mk(B, M, H), mk(B, N, H), mk(B, N, H)
+        do = mk(B, M, H)
+        scale = 1.0 / (H // nh) ** 0.5
+
+        def ref(q, k, v):
+            hd = H // nh
+            qh = q.reshape(B, M, nh, hd)
+            kh = k.reshape(B, N, nh, hd)
+            vh = v.reshape(B, N, nh, hd)
+            logits = jnp.einsum("bqhd,bnhd->bhqn", qh, kh) * scale
+            p = jax.nn.softmax(logits, axis=-1)
+            return jnp.einsum("bhqn,bnhd->bqhd", p, vh).reshape(B, M, H)
+
+        def kern(q, k, v):
+            return dense_cross_attention(
+                q, k, v, num_heads=nh, sm_scale=scale, interpret=True)
+
+        out_r, vjp_r = jax.vjp(ref, q, k, v)
+        out_k, vjp_k = jax.vjp(kern, q, k, v)
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                                   atol=2e-5, rtol=1e-5)
+        for gr, gk, name in zip(vjp_r(do), vjp_k(do), ("dq", "dk", "dv")):
+            np.testing.assert_allclose(
+                np.asarray(gk), np.asarray(gr), atol=5e-5, rtol=1e-4,
+                err_msg=f"{name} diverged between kernel VJP and einsum autodiff")
