@@ -298,3 +298,28 @@ def _build_dexycb_mv(cfg):
         shuffle_views=cfg.get("DATA_SPLIT", "train") == "train",
         test_with_multiview=cfg.get("TEST_WITH_MULTIVIEW", False),
     )
+
+
+@DATASET.register_module("DexYCBMultiView_Video")
+def _build_dexycb_mv_video(cfg):
+    """Reference DexYCBMultiView_Video (dexycb.py:520-589): seq_len
+    serial-consistent multiview frame windows over the s0 grouping; only
+    the as_constant_camera master system is supported (reference :535)."""
+    from ..video import MultiviewVideoDataset
+
+    master = cfg.get("MASTER_SYSTEM", "as_constant_camera")
+    assert master == "as_constant_camera", (
+        "DexYCBMultiView_Video only supports master_system "
+        f"'as_constant_camera' (got {master!r})"
+    )
+    mv = _build_dexycb_mv(cfg)
+    split = cfg.get("DATA_SPLIT", "train")
+    return MultiviewVideoDataset(
+        mv,
+        # sequence identity of a multiview frame group = "subject/seq"
+        seq_of_group=lambda i: mv.base.samples[mv.groups[i][0]][0],
+        seq_len=cfg.SEQ_LEN,
+        interval_frames=cfg.get("INTERVAL_FRAMES", 0),
+        drop_last_frames=cfg.get("DROP_LAST_FRAMES", True),
+        index_pkl=f"./assets/video_task/dexycb_multiview_video_idxs_{split}.pkl",
+    )

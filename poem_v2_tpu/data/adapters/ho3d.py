@@ -163,3 +163,22 @@ def _build_ho3dv3(cfg):
 def _build_ho3d_mv(cfg):
     base_ds = HO3DV3(cfg.DATA_ROOT, cfg.get("DATA_SPLIT", "train"), cfg.get("CENTER_IDX", 0))
     return HO3DMultiView(base_ds, const_cam_id=cfg.get("CONST_CAM_ID", None))
+
+
+@DATASET.register_module("HO3Dv3MultiView_Video")
+def _build_ho3d_mv_video(cfg):
+    """Reference HO3Dv3MultiView_Video (ho3d.py:931-1010): seq_len windows
+    of one rig base-sequence (ABF1x etc. share base name ABF1)."""
+    from ..video import MultiviewVideoDataset
+
+    mv = _build_ho3d_mv(cfg)
+    split = cfg.get("DATA_SPLIT", "train")
+    return MultiviewVideoDataset(
+        mv,
+        # base-sequence name of the group = leading views' seq minus digit
+        seq_of_group=lambda i: mv.base.samples[mv.groups[i][0]][0][:-1],
+        seq_len=cfg.SEQ_LEN,
+        interval_frames=cfg.get("INTERVAL_FRAMES", 0),
+        drop_last_frames=cfg.get("DROP_LAST_FRAMES", True),
+        index_pkl=f"./assets/video_task/ho3dv3_multiview_video_idxs_{split}.pkl",
+    )

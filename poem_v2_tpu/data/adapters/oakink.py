@@ -142,3 +142,23 @@ def _build_oakink_mv(cfg):
                      cfg.get("SPLIT_MODE", "default"), cfg.get("CENTER_IDX", 0),
                      use_split_mv=True)
     return OakInkMultiView(base_ds)
+
+
+@DATASET.register_module("OakInkMultiView_Video")
+def _build_oakink_mv_video(cfg):
+    """Reference OakInkMultiView_Video (oakink.py:631-714): seq_len windows
+    of one capture sequence; per-split-mode released index pkls."""
+    from ..video import MultiviewVideoDataset
+
+    mv = _build_oakink_mv(cfg)
+    split = cfg.get("DATA_SPLIT", "train+val")
+    mode = cfg.get("SPLIT_MODE", "default")
+    suffix = f"{split}_{mode}" if mode == "object" else split
+    return MultiviewVideoDataset(
+        mv,
+        seq_of_group=lambda i: str(mv.base.info_list[mv.groups[i][0]][0]),
+        seq_len=cfg.SEQ_LEN,
+        interval_frames=cfg.get("INTERVAL_FRAMES", 0),
+        drop_last_frames=cfg.get("DROP_LAST_FRAMES", True),
+        index_pkl=f"./assets/video_task/oakink_multiview_video_idxs_{suffix}.pkl",
+    )

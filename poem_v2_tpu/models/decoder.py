@@ -28,6 +28,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..utils.registry import TRANSFORMER
@@ -222,7 +223,18 @@ class PtEmbedDecoder(nn.Module):
         coords = []
         pred_pose = pred_shape = None
         use_remat = self.remat and not deterministic
-        block_cls = nn.remat(PointMetroBlock) if use_remat else PointMetroBlock
+        # save the named KNN indices across the remat boundary (int32,
+        # (B, M, K) — a few hundred KB) so the backward's block replay
+        # skips the (B, M, N) distance matmuls + top-k selections; every
+        # other intermediate is still recomputed
+        block_cls = (
+            nn.remat(
+                PointMetroBlock,
+                policy=jax.checkpoint_policies.save_only_these_names("knn_idx"),
+            )
+            if use_remat
+            else PointMetroBlock
+        )
         for i in range(self.n_blocks):
             block = block_cls(
                 hidden_size=self.hidden_size,

