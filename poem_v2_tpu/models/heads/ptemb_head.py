@@ -239,11 +239,12 @@ class POEMGeneralizedHead(nn.Module):
         # sizes on v5e — 512 B row DMAs; a vmapped dynamic-slice
         # formulation lowered catastrophically, +120 ms).
         n_val = jnp.sum(view_mask.astype(jnp.int32), axis=1)  # (B,)
-        if self.use_fused_sampling and deterministic and NS % 64 == 0:
-            from ...ops.pallas_scramble import scrambled_merge_gather
+        from ...ops import pallas_scramble
 
+        if (self.use_fused_sampling and deterministic
+                and pallas_scramble.supports(V, NS, C)):
             flat = jnp.swapaxes(bps_feats, 2, 3).reshape(B, V * NS * C)
-            scr = scrambled_merge_gather(flat, n_val, V=V, C=C)
+            scr = pallas_scramble.scrambled_merge_gather(flat, n_val, V=V, C=C)
         else:
             a_rows = jnp.swapaxes(bps_feats, 2, 3).reshape(B, V * NS, C)
             r = (

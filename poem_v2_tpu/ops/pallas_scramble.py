@@ -71,10 +71,28 @@ def _kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (G * V, SPAN_ROWS), 1)
     target = (gj // V) * n + (gj % V) + delta
     oh = (col == target).astype(src.dtype)
+    # one-hot x bf16 src is exact at default MXU precision (every product
+    # is src*1.0 on exactly-representable operands); f32 src would be
+    # truncated to one bf16 pass (measured 1.6e-2 abs on the chip) — use
+    # the 3-pass split there so the gather stays bit-exact
+    prec = (jax.lax.Precision.HIGHEST if src.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     out_ref[0] = jax.lax.dot_general(
         oh, src, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     ).astype(out_ref.dtype)
+
+
+def supports(V: int, NS: int, C: int, G: int = 64) -> bool:
+    """True when the kernel's static span/tiling constraints hold for
+    this geometry (callers fall back to the XLA row gather otherwise)."""
+    # last-dim slices must sit on the 128-lane tiling (Mosaic rejects
+    # C=64 at compile time: "Slice shape along dimension 2 must be
+    # aligned to tiling (128)")
+    if NS % G or C % 128:
+        return False
+    span_rows = G * V + V + 8 + (V * NS - (G * V + V + 8)) % 8
+    return span_rows < V * NS
 
 
 @functools.partial(jax.jit, static_argnames=("V", "C", "G", "interpret"))

@@ -456,6 +456,20 @@ def test_dense_cross_attention_grads_match_einsum():
                 err_msg=f"{name} diverged between kernel VJP and einsum autodiff")
 
 
+def test_scramble_supports_gating():
+    """Geometries that violate the kernel's static constraints must be
+    routed to the XLA fallback: C=64 fails Mosaic's 128-lane slice
+    alignment (crashed the overfit config before the gate), NS=64/V=2
+    fails the span bound, NS non-multiple of G fails the grid."""
+    from poem_v2_tpu.ops.pallas_scramble import supports
+
+    assert supports(8, 4096, 256)          # flagship
+    assert supports(2, 256, 128)
+    assert not supports(8, 4096, 64)       # C not 128-aligned
+    assert not supports(2, 64, 256)        # span_rows >= V*NS
+    assert not supports(8, 100, 256)       # NS % G != 0
+
+
 def test_scrambled_merge_gather_matches_row_gather():
     """Pallas span-copy scramble == the XLA row-gather form for every
     valid-view count, including the clamped tail rows (PARITY.md #9)."""
