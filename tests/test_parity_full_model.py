@@ -568,3 +568,26 @@ def test_full_model_forward_parity(ref_poem, tmp_path, monkeypatch):
         print(f"approx-KNN deviation block {blk}: "
               f"max {d.max() * 1e3:.3f} mm, mean {d.mean() * 1e3:.4f} mm")
     assert np.isfinite(a_coords).all()
+
+    # NOTE: on CPU ``approx_max_k`` is exact (the measured 0.000 mm here is
+    # vacuous) — the honest number comes from the TPU, where the op really
+    # approximates. Dump the converted head weights + inputs so
+    # scripts/measure_approx_knn.py can replay this exact fixture on the
+    # real chip.
+    dump = os.environ.get("POEM_DUMP_HEAD")
+    if dump:
+        import pickle
+
+        with open(dump, "wb") as f:
+            pickle.dump({
+                "head_params": jax.tree.map(np.asarray, params["head"]),
+                "mlvl": np.asarray(mlvl_jax),
+                "view_mask": batch["view_mask"] if "view_mask" in batch
+                             else np.asarray(jb["view_mask"]),
+                "cam_intr": np.asarray(jb["cam_intr"]),
+                "cam_extr": np.asarray(jb["cam_extr"]),
+                "master_joints_3d": np.asarray(jb["master_joints_3d"]),
+                "inp_res": (S, S),
+                "t_coords": t_coords,
+            }, f)
+        print(f"head fixture dumped to {dump}")
