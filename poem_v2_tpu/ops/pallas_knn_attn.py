@@ -166,7 +166,7 @@ def _kernel(
     )
 
     if packed_keys:
-        # (distance, column) packed into ONE f32 key: the column index
+        # (distance, column) packed into ONE int32 key: the column index
         # replaces the 12 low mantissa bits, so (a) every key is unique
         # and ties break to the lowest index, and (b) the K selection
         # rounds become READ-ONLY threshold scans over an immutable key
@@ -176,22 +176,28 @@ def _kernel(
         # <2^-11 relative (sub-bf16 ties); deviation gated end-to-end in
         # scripts/check_fused_parity.py. d2 >= 0 keeps i32 order == f32
         # order (clamp kills the tiny negative cancellation residue).
+        # The keys STAY int32 — bitcasting back to f32 makes a near-zero
+        # distance (the self point at d2 == 0) a denormal key, which the
+        # TPU VPU (and XLA:CPU) flush to zero in float compares, so every
+        # sub-normal key collapses to index 0. Integer compares are FTZ-
+        # proof and lower to the same VPU min-reduce.
         assert N <= (1 << 12), N  # 12 low mantissa bits hold the column
         d2i = jax.lax.bitcast_convert_type(jnp.maximum(d2, 0.0), jnp.int32)
-        keys = jax.lax.bitcast_convert_type((d2i & ~0xFFF) | (col & 0xFFF), f32)
+        keys = (d2i & ~0xFFF) | (col & 0xFFF)
+        int_max = jnp.int32(0x7FFFFFFF)
 
         def chunk_body_keys(c, carry):
             thr, m_acc, s_acc, o_acc = carry
             for jj in range(CJ):
                 thr = jnp.min(
-                    jnp.where(keys > thr, keys, jnp.inf), axis=1, keepdims=True
+                    jnp.where(keys > thr, keys, int_max), axis=1, keepdims=True
                 )  # (BQ, 1)
-                idx_j = jax.lax.bitcast_convert_type(thr, jnp.int32) & 0xFFF
+                idx_j = thr & 0xFFF
                 oh_ref[pl.ds(jj * BQ, BQ)] = (col == idx_j).astype(oh_ref.dtype)
             m_acc, s_acc, o_acc = fold_chunk(m_acc, s_acc, o_acc)
             return thr, m_acc, s_acc, o_acc
 
-        init = (jnp.full((BQ, 1), -jnp.inf, f32),) + acc0
+        init = (jnp.full((BQ, 1), jnp.int32(-(1 << 31))),) + acc0
         _, m_acc, s_acc, o_acc = jax.lax.fori_loop(
             0, K // CJ, chunk_body_keys, init
         )

@@ -312,9 +312,14 @@ def test_fused_knn_idx_fed_matches_argmin():
         wk, wv = mk(D, D) / 8, mk(D, D) / 8
         fcd = (mk(3, D), mk(D), mk(D, D) / 8, mk(D))
         fcg = (mk(D, D) / 8, mk(D), mk(D, D) / 8, mk(D))
+        # packed_keys=False: the packed-key default quantizes distances to
+        # ~2^-11 relative for tie-breaking, which can legitimately pick a
+        # different equally-near neighbour than exact top_k on random
+        # clouds; the idx-fed path must match the EXACT arg-min variant.
         ref = fused_knn_vector_attention(
             q, qxyz, ptxyz, x_full, wk, wv, fcd, fcg,
-            n_neighbor=K, block_q=16, chunk_j=4, interpret=True)
+            n_neighbor=K, block_q=16, chunk_j=4, interpret=True,
+            packed_keys=False)
         _, idx, _ = knn_points(qxyz, ptxyz, K, approx=False)
         out = fused_knn_vector_attention(
             q, qxyz, ptxyz, x_full, wk, wv, fcd, fcg,
@@ -496,3 +501,4 @@ def test_scrambled_merge_gather_matches_row_gather():
         np.testing.assert_allclose(
             np.asarray(out)[b, :, :n], np.asarray(ref)[b, :, :n], atol=0,
             err_msg=f"scramble diverged for n={n}")
+
