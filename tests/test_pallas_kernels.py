@@ -502,3 +502,23 @@ def test_scrambled_merge_gather_matches_row_gather():
             np.asarray(out)[b, :, :n], np.asarray(ref)[b, :, :n], atol=0,
             err_msg=f"scramble diverged for n={n}")
 
+
+def test_scramble_uniform_batch_is_pure_reshape():
+    """When every sample uses all V views, the reference scramble index
+    r[i, j] = i*n + j with n == V enumerates rows in identity order, so
+    the head's lax.cond fast path (a plain reshape, matching the zero
+    cost of the torch `.view`) must equal the ragged gather exactly."""
+    rs = np.random.RandomState(11)
+    B, V, NS, C = 2, 4, 32, 8
+    a4 = jnp.asarray(rs.randn(B, V, C, NS).astype(np.float32))
+    a_rows = a4.reshape(B, V * NS, C)
+
+    n_val = jnp.full((B,), V, dtype=jnp.int32)
+    r = (jnp.arange(NS)[None, :, None] * n_val[:, None, None]
+         + jnp.arange(V)[None, None, :])
+    r = jnp.minimum(r, V * NS - 1)
+    ref = jnp.take_along_axis(
+        a_rows, r.reshape(B, NS * V)[..., None], axis=1).reshape(B, NS, V, C)
+
+    fast = a_rows.reshape(B, NS, V, C)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(ref))
