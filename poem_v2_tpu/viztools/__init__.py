@@ -1,2 +1,3 @@
 from .draw import (HAND_LINKS, denormalize_image, draw_batch_joint_images, draw_batch_verts_images, draw_joints_2d, draw_verts_2d, tile_views)
 from .renderer import draw_batch_mesh_images, render_mesh_overlay
+from .viz_context import VizContext
