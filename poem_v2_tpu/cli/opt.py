@@ -21,7 +21,9 @@ def parse_exp_args(argv=None):
     p.add_argument("-w", "--workers", type=int, default=4)
     p.add_argument("--snapshot", type=int, default=1, help="epochs between ckpt snapshots")
     p.add_argument("--eval_freq", type=int, default=1)
-    p.add_argument("--log_freq", type=int, default=10)
+    p.add_argument("--log_freq", type=int, default=None,
+                   help="steps between summary/console logs "
+                        "(default: cfg.TRAIN.LOG_INTERVAL)")
     p.add_argument("--eval_extra", type=str, default="", help="auc | draw | save")
     p.add_argument("--view_max", type=int, default=8, help="padded view count")
     p.add_argument("--mesh_data", type=int, default=None, help="data-parallel mesh size")

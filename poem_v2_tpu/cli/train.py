@@ -98,9 +98,17 @@ def main(argv=None):
 
     loss_metric = LossMetric()
 
+    # CLI --log_freq overrides the config cadence (reference opt.py:37
+    # feeds the model's summary log_freq the same way)
+    log_interval = (
+        args.log_freq if args.log_freq is not None else cfg.TRAIN.LOG_INTERVAL
+    )
+
     from ..utils.profiling import StepTimer
 
     timer = StepTimer()
+    evaluator = None
+    val_ds = None
     for epoch in range(cfg.TRAIN.EPOCH):
         t0 = time.time()
         profiling = bool(args.profile) and epoch == 0
@@ -129,7 +137,7 @@ def main(argv=None):
                 profiling = False
                 logger.info(f"profiler trace written to {args.profile}")
             pending_metrics.append(metrics)
-            if step_idx % cfg.TRAIN.LOG_INTERVAL == 0:
+            if step_idx % log_interval == 0:
                 drain_metrics()
                 global_step = epoch * steps_per_epoch + step_idx
                 for k, v in metrics.items():
@@ -142,7 +150,7 @@ def main(argv=None):
                 )
                 # per-view overlay images every 5x interval (reference
                 # POEM.py:491-514 viz cadence)
-                if step_idx % (cfg.TRAIN.LOG_INTERVAL * 5) == 0 and "target_joints_2d" in dev_batch:
+                if step_idx % (log_interval * 5) == 0 and "target_joints_2d" in dev_batch:
                     from ..viztools.draw import denormalize_image, draw_joints_2d
 
                     img0 = denormalize_image(np.asarray(dev_batch["image"][0, 0]))
@@ -164,14 +172,19 @@ def main(argv=None):
         if "TEST" in cfg.DATASET and (epoch + 1) % args.eval_freq == 0:
             from ..training.evaluator import Evaluator
 
-            val_ds = create_dataset(
-                cfg.DATASET.TEST,
-                data_preset=cfg.DATA_PRESET,
-                is_train=False,
-                process_index=jax.process_index(),
-                process_count=jax.process_count(),
-            )
-            evaluator = Evaluator(model, aux, center_idx=cfg.DATA_PRESET.CENTER_IDX)
+            if evaluator is None:
+                # build once: a fresh Evaluator per epoch would re-jit its
+                # eval step every time (minutes each on a tunneled chip)
+                val_ds = create_dataset(
+                    cfg.DATASET.TEST,
+                    data_preset=cfg.DATA_PRESET,
+                    is_train=False,
+                    process_index=jax.process_index(),
+                    process_count=jax.process_count(),
+                )
+                evaluator = Evaluator(
+                    model, aux, center_idx=cfg.DATA_PRESET.CENTER_IDX
+                )
             val_size = cfg.DATASET.TEST.get("EPOCH_SIZE", 1000)
             results = evaluator.run(
                 state.params,
