@@ -46,6 +46,10 @@ class POEMNet(nn.Module):
     head: nn.Module
     num_joints: int = 21
     center_idx: int = 0  # DATA_PRESET.CENTER_IDX (root for noise jitter)
+    # train-time ref-joint noise std in metres (reference POEM.py:275-276
+    # hardcodes 0.01; configurable via MODEL.REF_NOISE so overfit/fine-tune
+    # protocols can anneal the anchor jitter)
+    ref_noise: float = 0.01
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -84,7 +88,9 @@ class POEMNet(nn.Module):
             gt = master_joints_3d.astype(f32)
             key = self.make_rng("noise")
             k1, k2, k3 = jax.random.split(key, 3)
-            noise = 0.01 * jax.random.normal(k1, gt.shape) + 0.01 * jax.random.normal(k2, (1,))
+            noise = self.ref_noise * (
+                jax.random.normal(k1, gt.shape) + jax.random.normal(k2, (1,))
+            )
             ref = gt + noise
             root = ref[:, self.center_idx][:, None]
             scale = 0.01 * (jax.random.uniform(k3, (1,)) * 2.0 - 1.0) + 1.0
@@ -301,6 +307,7 @@ def create_poem_model(
         head=head,
         num_joints=cfg.DATA_PRESET.NUM_JOINTS if "DATA_PRESET" in cfg else 21,
         center_idx=cfg.DATA_PRESET.CENTER_IDX if "DATA_PRESET" in cfg else 0,
+        ref_noise=float(cfg.get("REF_NOISE", 0.01)),
         dtype=dtype,
     )
     aux = {

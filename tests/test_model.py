@@ -66,6 +66,31 @@ class TestForward:
         )
         assert np.isfinite(np.asarray(preds["pred_verts_3d"])).all()
 
+    def test_ref_noise_scale_configurable(self, model_and_vars):
+        """MODEL.REF_NOISE scales the train-time anchor jitter
+        (reference POEM.py:275-276 hardcodes 0.01; 0 disables it)."""
+        model, aux, variables = model_and_vars
+        batch = tiny_batch(batch_size=2, view_max=4, image_size=64, seed=5)
+        kwargs = dict(train=True, rngs={"noise": jax.random.PRNGKey(7),
+                                        "dropout": jax.random.PRNGKey(8)})
+        args = (batch["image"], batch["view_mask"], batch["cam_intr"],
+                batch["cam_extr"], batch["master_joints_3d"])
+        gt = np.asarray(batch["master_joints_3d"])
+        ref0 = np.asarray(
+            model.clone(ref_noise=0.0).apply(variables, *args, **kwargs)[
+                "pred_ref_joints_3d"])
+        # noise off: root is exactly GT (scale jitter is root-centred),
+        # the rest within the +-1% scale jitter
+        c = model.center_idx
+        np.testing.assert_array_equal(ref0[:, c], gt[:, c])
+        rel = np.abs(ref0 - gt).max()
+        span = np.abs(gt - gt[:, c:c + 1]).max()
+        assert rel <= 0.011 * span + 1e-7, (rel, span)
+        # default noise on: anchors move by ~sigma
+        ref1 = np.asarray(model.apply(variables, *args, **kwargs)[
+            "pred_ref_joints_3d"])
+        assert np.abs(ref1 - gt).max() > 1e-3
+
     def test_padded_views_do_not_change_output(self, model_and_vars):
         """Core masking property: garbage in padded views must be inert."""
         model, aux, variables = model_and_vars
