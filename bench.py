@@ -21,6 +21,42 @@ import time
 import numpy as np
 
 
+def _wait_for_tpu_relay(host="127.0.0.1", port=8093, max_wait_s=900.0):
+    """Block until the axon TPU relay accepts connections, up to max_wait_s.
+
+    No-op when the relay is up (the common case) or when the axon plugin
+    is not configured at all (non-tunneled environments: real local TPU
+    or CPU runs, where there is nothing to wait for).
+    """
+    import socket
+
+    if os.environ.get("PALLAS_AXON_POOL_IPS", None) == "":
+        return  # plugin explicitly disabled (CPU verification runs)
+
+    def relay_up() -> bool:
+        try:
+            with socket.create_connection((host, port), timeout=5):
+                return True
+        except OSError:
+            return False
+
+    deadline = time.time() + max_wait_s
+    waited = False
+    while not relay_up():
+        if time.time() > deadline:
+            print(
+                f"# WARNING: TPU relay {host}:{port} unreachable for "
+                f"{max_wait_s:.0f}s; proceeding (result may be CPU-platform)",
+                flush=True,
+            )
+            return
+        waited = True
+        time.sleep(30.0)
+    if waited:
+        # relay just recovered: give device registration a moment
+        time.sleep(10.0)
+
+
 def main():
     parser = argparse.ArgumentParser()
     # B16 fills the 128-wide lane dim of the batch-minor conv layouts XLA
@@ -47,6 +83,12 @@ def main():
         help="override N_NEIGHBOR/N_NEIGHBOR_QUERY (0 = reference K=32)",
     )
     args = parser.parse_args()
+
+    # The tunneled TPU relay (axon, 127.0.0.1:8093) drops occasionally and
+    # may come back on its own; a bench run that starts during an outage
+    # would otherwise silently record a CPU number (or hang in device
+    # init). Wait for the relay — bounded — before touching jax.
+    _wait_for_tpu_relay()
 
     import jax
 
@@ -161,6 +203,9 @@ def main():
         "vs_baseline": round(best / 500.0, 4),
         "config": f"configs/release/train_medium.yaml ({args.backbone} {args.dtype} "
                   f"batch{args.batch_size or 'auto'} {args.views}view 4096bps 3blocks 256d)",
+        # which hardware actually ran: guards against a tunnel outage
+        # silently recording a CPU-platform number as the chip result
+        "platform": jax.devices()[0].platform,
     }
     print(json.dumps(result))
 
