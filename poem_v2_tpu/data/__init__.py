@@ -13,13 +13,13 @@ class SyntheticSampleStream:
     (without it the generator streams fresh samples each epoch)."""
 
     def __init__(self, view_max=8, image_size=256, epoch_size=0, seed=0,
-                 fixed_set=False, view_range=None):
+                 fixed_set=False, view_range=None, render=False):
         gen_kw = {}
         if view_range is not None:
             gen_kw["view_range"] = tuple(view_range)
         self._gen = SyntheticMultiviewDataset(
             batch_size=1, view_max=view_max, image_size=image_size, seed=seed,
-            **gen_kw,
+            render=render, **gen_kw,
         )
         self.epoch_size = epoch_size
         self.fixed_set = fixed_set and epoch_size > 0
@@ -79,6 +79,7 @@ def create_dataset(cfg, data_preset=None, is_train: bool = True, **kwargs):
             seed=cfg.get("SEED", 0),
             fixed_set=cfg.get("FIXED_SET", False),
             view_range=cfg.get("VIEW_RANGE", None),
+            render=cfg.get("RENDER", False),
         )
     # map-style SDK adapters (DexYCB/HO3D/OakInk/Interhand/Arctic/FreiHAND/
     # YT3D + multi-view variants) register themselves on import

@@ -43,6 +43,7 @@ class SyntheticMultiviewDataset:
         seed: int = 0,
         mano_layer: Optional[ManoLayer] = None,
         random_views: bool = True,
+        render: bool = False,
     ):
         self.batch_size = batch_size
         self.view_max = view_max
@@ -51,6 +52,14 @@ class SyntheticMultiviewDataset:
         self.rs = np.random.RandomState(seed)
         self.mano = mano_layer if mano_layer is not None else ManoLayer()
         self.random_views = random_views
+        # render=False: images are pure noise — enough for plumbing/bench
+        # runs, but the heatmap branch can only MEMORISE noise->coordinate
+        # mappings (convergence protocols floor at several px of 2D error,
+        # which DLT turns into ~1 cm of ref-joint error). render=True
+        # draws the articulated skeleton (per-finger coloured bones +
+        # joint discs) into every view so the 2D branch has a real visual
+        # mapping to learn.
+        self.render = render
 
     def sample_batch(self) -> Dict[str, np.ndarray]:
         import jax.numpy as jnp
@@ -110,7 +119,19 @@ class SyntheticMultiviewDataset:
             n = np.full(B, self.view_range[1], dtype=int)
         view_mask = np.arange(V)[None, :] < n[:, None]
 
-        images = rs.rand(B, V, S, S, 3).astype(np.float32) - 0.5
+        if self.render:
+            from ..viztools.draw import draw_joints_2d
+
+            # dim noise background + crisp skeleton render per view
+            bg = (rs.rand(B, V, S, S, 3) * 40.0).astype(np.uint8)
+            images = np.empty((B, V, S, S, 3), dtype=np.float32)
+            radius = max(2, S // 64)
+            for b in range(B):
+                for v in range(V):
+                    drawn = draw_joints_2d(bg[b, v], joints_2d[b, v], radius=radius)
+                    images[b, v] = drawn.astype(np.float32) / 255.0 - 0.5
+        else:
+            images = rs.rand(B, V, S, S, 3).astype(np.float32) - 0.5
 
         return {
             "image": images,

@@ -29,6 +29,12 @@ def create_mesh(
     n = len(devices)
     if data is None:
         data = n // model
+    elif data * model < n:
+        # explicitly-sized mesh on a larger device pool: take a prefix
+        # (e.g. --mesh_data 1 for a single-device run on the 8-device
+        # virtual CPU mesh the test tier forces)
+        devices = devices[: data * model]
+        n = len(devices)
     assert data * model == n, f"mesh {data}x{model} != {n} devices"
     dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, axis_names=("data", "model"))

@@ -80,3 +80,43 @@ def test_train_cli_one_epoch_synthetic(tmp_path, monkeypatch):
     # checkpoint written
     exps = [p for p in os.listdir(tmp_path / "exp")]
     assert exps
+
+
+def test_train_cli_fixed_set_device_cache_equivalence(tmp_path, monkeypatch):
+    """FIXED_SET runs cache sharded device batches and replay them; the
+    cached feed must be step-for-step identical to the streaming prefetch
+    feed (batch_iterator is deterministic, so this is pure plumbing)."""
+    import jax
+    import numpy as np
+
+    from poem_v2_tpu.cli import train as train_mod
+
+    cfg = Config(
+        {
+            "TRAIN": {"BATCH_SIZE": 2, "MANUAL_SEED": 1, "EPOCH": 2, "OPTIMIZER": "adam",
+                      "LR": 1e-3, "SCHEDULER": "constant", "LOG_INTERVAL": 1,
+                      "GRAD_CLIP_ENABLED": True, "GRAD_CLIP": {"TYPE": 2, "NORM": 1.0}},
+            "DATA_PRESET": {"CENTER_IDX": 0, "NUM_JOINTS": 21, "NUM_VERTS": 778,
+                            "IMAGE_SIZE": [64, 64]},
+            "DATASET": {"TRAIN": {"TYPE": "Synthetic", "VIEW_MAX": 2, "IMAGE_SIZE": 64,
+                                  "EPOCH_SIZE": 4, "FIXED_SET": True, "SEED": 3}},
+            "MODEL": TINY_MODEL_CFG.to_dict(),
+        }
+    )
+    cfg_path = tmp_path / "train_cfg.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg.to_dict(), f)
+    monkeypatch.chdir(tmp_path)
+    argv = ["-c", str(cfg_path), "--exp_id", "default", "--view_max", "2",
+            "--mesh_data", "1", "--dtype", "fp32"]
+
+    state_cached = train_mod.main(argv)
+    # force the streaming path (cap 0 -> cache disabled) on the same config
+    monkeypatch.setattr(train_mod, "FIXED_FEED_CACHE_CAP_BYTES", 0)
+    state_streamed = train_mod.main(argv)
+
+    assert int(state_cached.step) == int(state_streamed.step) == 4
+    leaves_c = jax.tree_util.tree_leaves(state_cached.params)
+    leaves_s = jax.tree_util.tree_leaves(state_streamed.params)
+    for lc, ls in zip(leaves_c, leaves_s):
+        np.testing.assert_array_equal(np.asarray(lc), np.asarray(ls))

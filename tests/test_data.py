@@ -266,3 +266,40 @@ def test_viz_multiview_dataset_script(tmp_path):
               "--image-size", "64"])
     import os as _os
     assert len(_os.listdir(tmp_path / "viz")) >= 1
+
+
+class TestSyntheticRender:
+    def test_rendered_views_carry_joint_signal(self):
+        """RENDER mode draws the skeleton into each view: pixels at the
+        projected joints must be bright against the dim noise background
+        (the convergence-protocol requirement — noise-only images cap the
+        heatmap branch at memorisation precision)."""
+        from poem_v2_tpu.data.synthetic import SyntheticMultiviewDataset
+
+        ds = SyntheticMultiviewDataset(
+            batch_size=2, view_max=2, image_size=64, seed=11,
+            render=True, random_views=False, view_range=(2, 2),
+        )
+        b = ds.sample_batch()
+        img, j2d = b["image"], b["target_joints_2d"]
+        assert img.min() >= -0.5 and img.max() <= 0.5
+        hits = tot = 0
+        for bb in range(2):
+            for v in range(2):
+                for j in range(21):
+                    x, y = np.round(j2d[bb, v, j]).astype(int)
+                    if 2 <= x < 62 and 2 <= y < 62:
+                        tot += 1
+                        hits += img[bb, v, y - 2 : y + 3, x - 2 : x + 3].max() > 0.3
+        assert tot > 20 and hits / tot > 0.9
+
+    def test_render_deterministic_per_seed(self):
+        from poem_v2_tpu.data.synthetic import SyntheticMultiviewDataset
+
+        mk = lambda: SyntheticMultiviewDataset(
+            batch_size=1, view_max=2, image_size=64, seed=5,
+            render=True, random_views=False, view_range=(2, 2),
+        ).sample_batch()
+        a, b = mk(), mk()
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["master_joints_3d"], b["master_joints_3d"])
