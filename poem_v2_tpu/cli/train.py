@@ -122,6 +122,7 @@ def main(argv=None):
     # batches once and replay from HBM; bounded so real datasets and big
     # protocols keep the streaming prefetch path.
     dev_cache = None
+    scan_feed = None
     if bool(cfg.DATASET.TRAIN.get("FIXED_SET", False)):
         bytes_per_batch = sum(
             np.asarray(v).nbytes for v in first.values()
@@ -134,6 +135,17 @@ def main(argv=None):
                 f"fixed-set feed cached on device: {len(dev_cache)} batches, "
                 f"{bytes_per_batch * steps_per_epoch / 1e6:.0f} MB"
             )
+            # uniform batch shapes -> stack once and run each epoch as ONE
+            # dispatch (lax.scan over the step; Trainer.epoch_scan). Some
+            # transports charge seconds per dispatch, which dominates
+            # these small-model protocol runs.
+            shapes0 = {k: v.shape for k, v in dev_cache[0].items()}
+            if all(
+                {k: v.shape for k, v in b.items()} == shapes0 for b in dev_cache
+            ):
+                scan_feed = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *dev_cache
+                )
 
     for epoch in range(cfg.TRAIN.EPOCH):
         t0 = time.time()
@@ -153,42 +165,66 @@ def main(argv=None):
                 loss_metric.feed({k: float(v) for k, v in m.items()}, batch_size)
             pending_metrics.clear()
 
-        for step_idx, dev_batch in enumerate(
-            dev_cache
-            if dev_cache is not None
-            else prefetch_to_device(batches(), trainer.mesh, size=2)
-        ):
-            state, metrics = trainer.step_sharded(state, dev_batch)
-            timer.tick()
-            if profiling and step_idx >= 20:
+        if scan_feed is not None:
+            # whole epoch in one launch; metrics arrive stacked (S,)
+            state, mstack = trainer.epoch_scan(state, scan_feed)
+            host = {k: np.asarray(v) for k, v in mstack.items()}
+            n_steps = len(dev_cache)
+            for i in range(n_steps):
+                loss_metric.feed(
+                    {k: float(v[i]) for k, v in host.items()}, batch_size
+                )
+            global_step = (epoch + 1) * steps_per_epoch - 1
+            for k, v in host.items():
+                summary.add_scalar(k, float(v[-1]), global_step)
+            dt = time.time() - t0
+            logger.info(
+                f"epoch {epoch} ({n_steps} steps, one launch) "
+                f"loss {float(host['loss'][-1]):.4f} "
+                f"({n_steps * batch_size / dt:.1f} samples/s, "
+                f"{dt / n_steps * 1e3:.1f} ms/step)"
+            )
+            if profiling:
                 jax.profiler.stop_trace()
                 profiling = False
                 logger.info(f"profiler trace written to {args.profile}")
-            pending_metrics.append(metrics)
-            if step_idx % log_interval == 0:
-                drain_metrics()
-                global_step = epoch * steps_per_epoch + step_idx
-                for k, v in metrics.items():
-                    summary.add_scalar(k, float(v), global_step)
-                logger.info(
-                    f"epoch {epoch} step {step_idx}/{steps_per_epoch} "
-                    f"loss {float(metrics['loss']):.4f} "
-                    f"({timer.throughput(batch_size):.1f} samples/s, "
-                    f"{timer.mean_step_time * 1e3:.1f} ms/step)"
-                )
-                # per-view overlay images every 5x interval (reference
-                # POEM.py:491-514 viz cadence)
-                if step_idx % (log_interval * 5) == 0 and "target_joints_2d" in dev_batch:
-                    from ..viztools.draw import denormalize_image, draw_joints_2d
-
-                    img0 = denormalize_image(np.asarray(dev_batch["image"][0, 0]))
-                    gt0 = np.asarray(dev_batch["target_joints_2d"][0, 0])
-                    summary.add_image(
-                        "img/viz_joints_2d_train",
-                        draw_joints_2d(img0, gt0),
-                        global_step,
-                        dataformats="HWC",
+        else:
+            for step_idx, dev_batch in enumerate(
+                dev_cache
+                if dev_cache is not None
+                else prefetch_to_device(batches(), trainer.mesh, size=2)
+            ):
+                state, metrics = trainer.step_sharded(state, dev_batch)
+                timer.tick()
+                if profiling and step_idx >= 20:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info(f"profiler trace written to {args.profile}")
+                pending_metrics.append(metrics)
+                if step_idx % log_interval == 0:
+                    drain_metrics()
+                    global_step = epoch * steps_per_epoch + step_idx
+                    for k, v in metrics.items():
+                        summary.add_scalar(k, float(v), global_step)
+                    logger.info(
+                        f"epoch {epoch} step {step_idx}/{steps_per_epoch} "
+                        f"loss {float(metrics['loss']):.4f} "
+                        f"({timer.throughput(batch_size):.1f} samples/s, "
+                        f"{timer.mean_step_time * 1e3:.1f} ms/step)"
                     )
+                    # per-view overlay images every 5x interval (reference
+                    # POEM.py:491-514 viz cadence)
+                    if step_idx % (log_interval * 5) == 0 and "target_joints_2d" in dev_batch:
+                        from ..viztools.draw import denormalize_image, draw_joints_2d
+
+                        img0 = denormalize_image(np.asarray(dev_batch["image"][0, 0]))
+                        gt0 = np.asarray(dev_batch["target_joints_2d"][0, 0])
+                        summary.add_image(
+                            "img/viz_joints_2d_train",
+                            draw_joints_2d(img0, gt0),
+                            global_step,
+                            dataformats="HWC",
+                        )
         drain_metrics()
         recorder.record_loss(loss_metric, epoch, comment="train")
         recorder.record_checkpoint(state, epoch, snapshot_every=args.snapshot)

@@ -143,6 +143,30 @@ class Trainer:
         training/prefetch.py for the double-buffered feed)."""
         return self._train_step(state, dev_batch)
 
+    def epoch_scan(self, state: TrainState, stacked_batches: Dict[str, Any]):
+        """One dispatch for a whole epoch: ``lax.scan`` of the train step
+        over batches stacked on a leading axis (S, B, ...).
+
+        Mathematically identical to S sequential ``step_sharded`` calls:
+        the scan body IS the step function and state.rng threads through
+        the carry exactly as it does across dispatches (bitwise results
+        may differ at float-rounding scale — XLA fuses the scan body
+        differently from the standalone step). Exists because some
+        transports charge seconds of overhead PER DISPATCH (the tunneled
+        dev chip: ~2.3 s/step regardless of compute) — fixed-set
+        convergence protocols with a device-cached feed collapse to one
+        launch per epoch. Returns (state, metrics) with each metric
+        stacked to (S,).
+        """
+        if not hasattr(self, "_epoch_scan"):
+            step = make_train_step(self.model, self.loss_fn)
+
+            def scan_fn(st, stacked):
+                return jax.lax.scan(step, st, stacked)
+
+            self._epoch_scan = jax.jit(scan_fn, donate_argnums=(0,))
+        return self._epoch_scan(state, stacked_batches)
+
     @staticmethod
     def _to_device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
         keep = (
