@@ -20,6 +20,11 @@ def parse_exp_args(argv=None):
     p.add_argument("--val_batch_size", type=int, default=None)
     p.add_argument("-w", "--workers", type=int, default=4)
     p.add_argument("--snapshot", type=int, default=1, help="epochs between ckpt snapshots")
+    p.add_argument("--ckpt_freq", type=int, default=1,
+                   help="epochs between rolling-checkpoint writes (reference "
+                        "writes every epoch; raise for fast protocol runs "
+                        "where the orbax write dominates the epoch). The "
+                        "final epoch always checkpoints.")
     p.add_argument("--eval_freq", type=int, default=1)
     p.add_argument("--log_freq", type=int, default=None,
                    help="steps between summary/console logs "

@@ -95,9 +95,17 @@ def main(argv=None):
         # huge-part checkpoint — reference train_huge.yaml / --reload)
         state = state.replace(params=Recorder.load_params(pretrained, state.params))
         logger.info(f"warm-started weights from {pretrained}")
+    start_epoch = 0
     if args.resume:
         state = recorder.resume(state, args.resume)
-        logger.info(f"resumed from {args.resume} at step {int(state.step)}")
+        # reference resume restores the epoch counter too
+        # (train_ddp.py:91-92 via recorder.py:109-138); derive it from the
+        # restored optimizer step so the LR schedule and the loop agree
+        start_epoch = int(state.step) // steps_per_epoch
+        logger.info(
+            f"resumed from {args.resume} at step {int(state.step)} "
+            f"(epoch {start_epoch})"
+        )
 
     loss_metric = LossMetric()
 
@@ -147,9 +155,9 @@ def main(argv=None):
                     lambda *xs: jnp.stack(xs), *dev_cache
                 )
 
-    for epoch in range(cfg.TRAIN.EPOCH):
+    for epoch in range(start_epoch, cfg.TRAIN.EPOCH):
         t0 = time.time()
-        profiling = bool(args.profile) and epoch == 0
+        profiling = bool(args.profile) and epoch == start_epoch
         if profiling:
             jax.profiler.start_trace(args.profile)
         # double-buffer device feeds: batch n+1 transfers while n computes
@@ -227,7 +235,9 @@ def main(argv=None):
                         )
         drain_metrics()
         recorder.record_loss(loss_metric, epoch, comment="train")
-        recorder.record_checkpoint(state, epoch, snapshot_every=args.snapshot)
+        ckpt_freq = max(1, getattr(args, "ckpt_freq", 1))
+        if (epoch + 1) % ckpt_freq == 0 or epoch == cfg.TRAIN.EPOCH - 1:
+            recorder.record_checkpoint(state, epoch, snapshot_every=args.snapshot)
         loss_metric.reset()
         logger.info(f"epoch {epoch} done in {time.time() - t0:.1f}s")
 
