@@ -30,7 +30,28 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...utils.registry import ATTENTION, TRANSFORMER
-from .attention import BertFFN
+
+
+class FFN(nn.Module):
+    """mmcv-semantics FFN: Linear -> ReLU -> Dropout -> Linear -> Dropout
+    plus the identity connection and NO internal norm — normalisation is
+    the operation order's job (reference lib/models/bricks/transformer.py:
+    175-235: ``self.activate = nn.ReLU``, ``layers`` end in Dropout, the
+    residual is added in ``forward``)."""
+
+    embed_dims: int = 256
+    feedforward_channels: int = 1024
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        h = nn.Dense(self.feedforward_channels, dtype=self.dtype, name="fc1")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Dense(self.embed_dims, dtype=self.dtype, name="fc2")(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return x + h
 
 
 @ATTENTION.register_module("MultiheadAttention")
@@ -125,7 +146,7 @@ class BaseTransformerLayer(nn.Module):
                 x = nn.LayerNorm(dtype=self.dtype, name=f"norm_{norm_i}")(x)
                 norm_i += 1
             elif op == "ffn":
-                x = BertFFN(
+                x = FFN(
                     self.embed_dims, self.feedforward_channels, self.dropout,
                     dtype=self.dtype, name=f"ffn_{ffn_i}",
                 )(x, deterministic=deterministic)

@@ -72,7 +72,13 @@ def frustum_points(
 
 
 class FrustumPositionEncoder(nn.Module):
-    """inverse_sigmoid(normalised frustum) -> conv encoder -> embed_dims."""
+    """inverse_sigmoid(normalised frustum) -> conv encoder -> embed_dims.
+
+    ``hidden_mult`` matches the reference encoder widths: the POEM head's
+    ``position_encoder`` hides at ``embed_dims * 2``
+    (lib/models/heads/ptEmb_head.py:102-106) while the PETR head's hides
+    at ``embed_dims * 4`` (lib/models/heads/petr_head.py:83-87).
+    """
 
     embed_dims: int = 256
     depth_num: int = 32
@@ -80,6 +86,7 @@ class FrustumPositionEncoder(nn.Module):
     depth_end: float = 1.2
     lid: bool = False
     position_range: Sequence[float] = (-0.6, -0.6, 0.0, 0.6, 0.6, 1.2)
+    hidden_mult: int = 2
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -102,12 +109,15 @@ class FrustumPositionEncoder(nn.Module):
         coords_mask = (norm > 1.0) | (norm < 0.0)
 
         B, V, W, H, D, _ = norm.shape
-        # (B, V, H, W, 3*D) channels-last
-        feat = jnp.transpose(norm, (0, 1, 3, 2, 5, 4)).reshape(B, V, H, W, 3 * D)
+        # (B, V, H, W, D*3) channels-last, channel = d*3 + coord — the
+        # reference permutes (BN, W, H, D, 3) -> (BN, D, 3, H, W) before
+        # flattening (ptEmb_head.py:179, petr_head.py:155), so converted
+        # position-encoder conv weights expect DEPTH-major channels
+        feat = jnp.transpose(norm, (0, 1, 3, 2, 4, 5)).reshape(B, V, H, W, D * 3)
         feat = inverse_sigmoid(feat)
-        x = nn.Conv(self.embed_dims * 2, (1, 1), dtype=self.dtype, name="pe_conv1")(
-            feat.astype(self.dtype)
-        )
+        x = nn.Conv(
+            self.embed_dims * self.hidden_mult, (1, 1), dtype=self.dtype, name="pe_conv1"
+        )(feat.astype(self.dtype))
         x = nn.relu(x)
         x = nn.Conv(self.embed_dims, (1, 1), dtype=self.dtype, name="pe_conv2")(x)
         return x, pts, coords_mask

@@ -136,6 +136,15 @@ class POEMGeneralizedHead(nn.Module):
     pe_num_feats: int = 128
     center_idx: int = 9  # TRANSFORMER_CENTER_IDX
     parametric_output: bool = False
+    # optional camera-frustum position embedding added onto the sine PE
+    # (reference PETR_EMBEDDING branch, ptEmb_head.py:692,865-867; the
+    # release configs leave it off)
+    petr_embedding: bool = False
+    depth_num: int = 32
+    depth_start: float = 0.0
+    depth_end: float = 1.2
+    lid: bool = False
+    position_range: Tuple[float, ...] = (-0.6, -0.6, 0.0, 0.6, 0.6, 1.2)
     # static geometry (hashable tuples of floats would be costly; numpy via
     # flax's frozen treatment — these are compile-time constants)
     bps_basis: Optional[np.ndarray] = None  # (nsample, 3)
@@ -188,6 +197,21 @@ class POEMGeneralizedHead(nn.Module):
         sin = AdaptPos3D(
             self.embed_dims, self.pe_num_feats, dtype=self.dtype, name="adapt_pos3d"
         )(pos_n, pos_y, pos_x)
+        if self.petr_embedding:
+            from ..frustum import FrustumPositionEncoder
+
+            coords_embed, _, _ = FrustumPositionEncoder(
+                embed_dims=self.embed_dims,
+                depth_num=self.depth_num,
+                depth_start=self.depth_start,
+                depth_end=self.depth_end,
+                lid=self.lid,
+                position_range=self.position_range,
+                hidden_mult=2,  # ptEmb position_encoder width (ptEmb_head.py:102-106)
+                dtype=self.dtype,
+                name="position_encoder",
+            )(cam_intr, cam_extr, (H, W), inp_res)
+            sin = sin + coords_embed
         x = x + sin
 
         # ---- BPS cloud around reference joint 9 --------------------------

@@ -21,71 +21,74 @@ import jax.numpy as jnp
 
 from ..geometry.camera import inverse_sigmoid
 from ..utils.registry import HEAD, MODEL, TRANSFORMER
-from .bricks.attention import BertFFN
+from .bricks.transformer_layer import BaseTransformerLayer
 from .frustum import FrustumPositionEncoder
 from .positional import pos2posemb3d, sine_positional_encoding_3d
 
 
-class _PETRLayer(nn.Module):
-    """DETR decoder layer: query self-attn, cross-attn into image tokens, FFN."""
-
-    embed_dims: int = 256
-    num_heads: int = 8
-    dropout: float = 0.1
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, query, query_pos, memory, memory_pos, memory_mask, deterministic=True):
-        h = self.embed_dims
-        nh = self.num_heads
-
-        def mha(q_in, k_in, v_in, mask, name):
-            B, Q, _ = q_in.shape
-            N = k_in.shape[1]
-            hd = h // nh
-            q = nn.Dense(h, dtype=self.dtype, name=f"{name}_q")(q_in).reshape(B, Q, nh, hd)
-            k = nn.Dense(h, dtype=self.dtype, name=f"{name}_k")(k_in).reshape(B, N, nh, hd)
-            v = nn.Dense(h, dtype=self.dtype, name=f"{name}_v")(v_in).reshape(B, N, nh, hd)
-            logits = jnp.einsum("bqhd,bnhd->bhqn", q, k) / jnp.sqrt(hd).astype(self.dtype)
-            if mask is not None:
-                logits = jnp.where(mask[:, None, None, :], logits, -1e9)
-            probs = nn.softmax(logits, axis=-1)
-            probs = nn.Dropout(self.dropout, deterministic=deterministic)(probs)
-            ctx = jnp.einsum("bhqn,bnhd->bqhd", probs, v).reshape(B, Q, h)
-            return nn.Dense(h, dtype=self.dtype, name=f"{name}_out")(ctx)
-
-        # self attention (queries + positional queries)
-        sa = mha(query + query_pos, query + query_pos, query, None, "self")
-        query = nn.LayerNorm(dtype=self.dtype, name="norm1")(query + sa)
-        # cross attention into image tokens
-        ca = mha(query + query_pos, memory + memory_pos, memory, memory_mask, "cross")
-        query = nn.LayerNorm(dtype=self.dtype, name="norm2")(query + ca)
-        # FFN
-        query = BertFFN(h, h * 4, self.dropout, dtype=self.dtype, name="ffn")(
-            query, deterministic=deterministic
-        )
-        return query
-
-
 @TRANSFORMER.register_module("PETRTransformer")
 class PETRTransformer(nn.Module):
+    """DETR decoder: N post-norm layers (self_attn, norm, cross_attn,
+    norm, ffn, norm) over zero-initialised queries, returning every
+    intermediate with the sequence-level ``post_norm`` applied — the
+    reference ``PETRTransformerDecoderLayerSequence`` norms each
+    intermediate before stacking (lib/models/layers/petr_transformer.py:
+    117-165, ``intermediate.append(self.post_norm(query))``)."""
+
     embed_dims: int = 256
     num_layers: int = 6
     num_heads: int = 8
+    feedforward_channels: int = 1024
     dropout: float = 0.1
+    post_norm: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, memory, memory_pos, memory_mask, query_embed, deterministic=True):
-        B = memory.shape[0]
         query = jnp.zeros_like(query_embed)
+        pn = nn.LayerNorm(dtype=self.dtype, name="post_norm") if self.post_norm else None
         outs = []
         for i in range(self.num_layers):
-            query = _PETRLayer(
-                self.embed_dims, self.num_heads, self.dropout, dtype=self.dtype, name=f"layer_{i}"
-            )(query, query_embed, memory, memory_pos, memory_mask, deterministic)
-            outs.append(query)
+            query = BaseTransformerLayer(
+                embed_dims=self.embed_dims,
+                num_heads=self.num_heads,
+                feedforward_channels=self.feedforward_channels,
+                dropout=self.dropout,
+                operation_order=("self_attn", "norm", "cross_attn", "norm", "ffn", "norm"),
+                dtype=self.dtype,
+                name=f"layer_{i}",
+            )(query, memory, query_embed, memory_pos, memory_mask, deterministic)
+            outs.append(pn(query) if pn is not None else query)
         return jnp.stack(outs)  # (L, B, Q, C)
+
+
+def _petr_reg_levels(
+    outs, ref_sig, num_preds, num_reg_fcs, embed_dims,
+    coord_relative, position_range, dtype,
+):
+    """ONE shared reg branch applied to every decoder level — the
+    reference repeats the SAME Sequential object in its ModuleList
+    (petr_head.py:67-75: ``[reg_branch for _ in range(num_preds)]``), so
+    all levels regress through identical weights. Runs inside the head's
+    compact scope (submodules bind to the ambient parent)."""
+    reg_fcs = [
+        nn.Dense(embed_dims, dtype=dtype, name=f"reg_fc{i}") for i in range(num_reg_fcs)
+    ]
+    reg_out = nn.Dense(3, dtype=dtype, name="reg_out")
+    coords = []
+    for lvl in range(num_preds):
+        h = outs[lvl]
+        for fc in reg_fcs:
+            h = nn.relu(fc(h.astype(dtype)))
+        delta = reg_out(h).astype(jnp.float32)
+        if coord_relative:
+            coords.append(nn.sigmoid(delta + inverse_sigmoid(ref_sig)))
+        else:
+            coords.append(nn.sigmoid(delta))
+    all_coords = jnp.stack(coords)  # (L, B, Q, 3) in [0, 1]
+    pr = jnp.asarray(position_range, dtype=jnp.float32)
+    all_coords = all_coords * (pr[3:] - pr[:3]) + pr[:3]
+    return {"all_coords_preds": all_coords}
 
 
 @HEAD.register_module("PETRHead")
@@ -103,6 +106,7 @@ class PETRHead(nn.Module):
     pe_num_feats: int = 128
     coord_relative: bool = False
     num_heads: int = 8
+    feedforward_channels: int = 1024
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
 
@@ -127,6 +131,9 @@ class PETRHead(nn.Module):
             depth_end=self.depth_end,
             lid=self.lid,
             position_range=self.position_range,
+            # the PETR head's position_encoder hides at embed_dims * 4
+            # (petr_head.py:83-87), unlike the POEM head's * 2
+            hidden_mult=4,
             dtype=self.dtype,
             name="position_encoder",
         )(cam_intr, cam_extr, (H, W), inp_res)
@@ -159,30 +166,17 @@ class PETRHead(nn.Module):
         query_embed = jnp.broadcast_to(query_embed[None], (B,) + query_embed.shape)
 
         outs = PETRTransformer(
-            self.embed_dims, self.num_preds, self.num_heads, self.dropout,
-            dtype=self.dtype, name="transformer",
+            self.embed_dims, self.num_preds, self.num_heads,
+            feedforward_channels=self.feedforward_channels,
+            dropout=self.dropout, dtype=self.dtype, name="transformer",
         )(memory, memory_pos, token_mask, query_embed, deterministic)
         outs = jnp.nan_to_num(outs.astype(jnp.float32))
 
         ref_sig = nn.sigmoid(jnp.broadcast_to(reference_points[None], (B, self.num_query, 3)))
-        coords = []
-        for lvl in range(self.num_preds):
-            h = outs[lvl]
-            for i in range(self.num_reg_fcs):
-                h = nn.Dense(self.embed_dims, dtype=self.dtype, name=f"reg_{lvl}_fc{i}")(
-                    h.astype(self.dtype)
-                )
-                h = nn.relu(h)
-            delta = nn.Dense(3, dtype=self.dtype, name=f"reg_{lvl}_out")(h).astype(jnp.float32)
-            if self.coord_relative:
-                coords.append(nn.sigmoid(delta + inverse_sigmoid(ref_sig)))
-            else:
-                coords.append(nn.sigmoid(delta))
-        all_coords = jnp.stack(coords)  # (L, B, Q, 3) in [0, 1]
-
-        pr = jnp.asarray(self.position_range, dtype=jnp.float32)
-        all_coords = all_coords * (pr[3:] - pr[:3]) + pr[:3]
-        return {"all_coords_preds": all_coords}
+        return _petr_reg_levels(
+            outs, ref_sig, self.num_preds, self.num_reg_fcs,
+            self.embed_dims, self.coord_relative, self.position_range, self.dtype,
+        )
 
 
 class PETRMultiView(nn.Module):
@@ -365,29 +359,17 @@ class PETRHeadFTL(PETRHead):
         query_embed = jnp.broadcast_to(query_embed[None], (B,) + query_embed.shape)
 
         outs = PETRTransformer(
-            self.embed_dims, self.num_preds, self.num_heads, self.dropout,
-            dtype=self.dtype, name="transformer",
+            self.embed_dims, self.num_preds, self.num_heads,
+            feedforward_channels=self.feedforward_channels,
+            dropout=self.dropout, dtype=self.dtype, name="transformer",
         )(memory, memory_pos, token_mask, query_embed, deterministic)
         outs = jnp.nan_to_num(outs.astype(jnp.float32))
 
         ref_sig = nn.sigmoid(jnp.broadcast_to(reference_points[None], (B, self.num_query, 3)))
-        coords = []
-        for lvl in range(self.num_preds):
-            h = outs[lvl]
-            for i in range(self.num_reg_fcs):
-                h = nn.Dense(self.embed_dims, dtype=self.dtype, name=f"reg_{lvl}_fc{i}")(
-                    h.astype(self.dtype)
-                )
-                h = nn.relu(h)
-            delta = nn.Dense(3, dtype=self.dtype, name=f"reg_{lvl}_out")(h).astype(jnp.float32)
-            if self.coord_relative:
-                coords.append(nn.sigmoid(delta + inverse_sigmoid(ref_sig)))
-            else:
-                coords.append(nn.sigmoid(delta))
-        all_coords = jnp.stack(coords)
-        pr = jnp.asarray(self.position_range, dtype=jnp.float32)
-        all_coords = all_coords * (pr[3:] - pr[:3]) + pr[:3]
-        return {"all_coords_preds": all_coords}
+        return _petr_reg_levels(
+            outs, ref_sig, self.num_preds, self.num_reg_fcs,
+            self.embed_dims, self.coord_relative, self.position_range, self.dtype,
+        )
 
 
 MODEL.register_module("PETRMultiView", module=create_petr_model)

@@ -274,6 +274,12 @@ def create_poem_model(
         pe_num_feats=head_cfg.POSITIONAL_ENCODING.NUM_FEATS,
         center_idx=transformer_center_idx,
         parametric_output=parametric,
+        petr_embedding=bool(head_cfg.get("PETR_EMBEDDING", False)),
+        depth_num=head_cfg.get("DEPTH_NUM", 32),
+        depth_start=head_cfg.get("DEPTH_START", 0.0),
+        depth_end=head_cfg.get("DEPTH_END", 1.2),
+        lid=head_cfg.get("LID", False),
+        position_range=tuple(head_cfg.get("POSITION_RANGE", (-0.6, -0.6, 0.0, 0.6, 0.6, 1.2))),
         bps_basis=bps,
         template_mesh=template,
         query_anchor_idx=np.asarray(q_anchor_idx),

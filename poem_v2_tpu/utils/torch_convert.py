@@ -373,3 +373,108 @@ def convert_hrnet_backbone(
                                      [j_mod, "fuse", f"down_{j}_to_{i}_conv{k}"])
                             put_bn(t_f + "1", [j_mod, "fuse", f"down_{j}_to_{i}_norm{k}"])
     return used
+
+
+def convert_petr_head(state: Dict, params: Dict, prefix: str = "") -> List[str]:
+    """Map a reference ``PETRHead`` state dict onto our flax PETRHead.
+
+    Reference modules (lib/models/heads/petr_head.py:58-93 +
+    lib/models/layers/petr_transformer.py:117-165):
+
+    * ``input_proj`` / ``adapt_pos3d.{0,2}`` / ``position_encoder.{0,2}``
+      1x1 convs,
+    * ``reference_points`` embedding + ``query_embedding.{0,2}`` linears,
+    * ONE shared ``reg_branches`` Sequential (the reference repeats the
+      same object per level; only index 0 is read),
+    * decoder layers ``transformer.decoder.layers.{i}`` — torch
+      ``nn.MultiheadAttention`` packed in_proj split into q/k/v, mmcv FFN
+      ``layers.0.0``/``layers.1`` linears, three LayerNorms — plus the
+      sequence-level ``post_norm`` applied to every intermediate.
+
+    ``params`` is the head's own param subtree (mutated in place);
+    ``prefix`` prepends e.g. ``"ptEmb_head."`` when the head sits inside
+    a full-model state dict. Returns the consumed torch keys.
+    """
+    used: List[str] = []
+
+    def put(torch_key, path, conv=convert_linear):
+        bias_key = torch_key.replace("weight", "bias")
+        set_in_tree(params, path + ["kernel"], conv(state[prefix + torch_key]))
+        set_in_tree(params, path + ["bias"], _t2n(state[prefix + bias_key]))
+        used.extend([prefix + torch_key, prefix + bias_key])
+
+    def put_ln(torch_prefix, path):
+        set_in_tree(params, path + ["scale"], _t2n(state[prefix + torch_prefix + ".weight"]))
+        set_in_tree(params, path + ["bias"], _t2n(state[prefix + torch_prefix + ".bias"]))
+        used.extend([prefix + torch_prefix + ".weight", prefix + torch_prefix + ".bias"])
+
+    put("input_proj.weight", ["input_proj"], convert_conv)
+    put("adapt_pos3d.0.weight", ["adapt_pos3d_1"], convert_conv)
+    put("adapt_pos3d.2.weight", ["adapt_pos3d_2"], convert_conv)
+    put("position_encoder.0.weight", ["position_encoder", "pe_conv1"], convert_conv)
+    put("position_encoder.2.weight", ["position_encoder", "pe_conv2"], convert_conv)
+
+    set_in_tree(params, ["reference_points"], _t2n(state[prefix + "reference_points.weight"]))
+    used.append(prefix + "reference_points.weight")
+    put("query_embedding.0.weight", ["query_embedding_1"])
+    put("query_embedding.2.weight", ["query_embedding_2"])
+
+    # shared reg branch: Sequential [Linear, ReLU]*num_reg_fcs + Linear(3)
+    # (+ Sigmoid) — linears sit at even indices
+    n_fc = 0
+    while f"{prefix}reg_branches.0.{2 * n_fc}.weight" in state:
+        n_fc += 1
+    for i in range(n_fc - 1):
+        put(f"reg_branches.0.{2 * i}.weight", [f"reg_fc{i}"])
+    put(f"reg_branches.0.{2 * (n_fc - 1)}.weight", ["reg_out"])
+    # the repeated ModuleList entries alias the same tensors — mark all
+    # levels' keys consumed
+    lvl = 1
+    while f"{prefix}reg_branches.{lvl}.0.weight" in state:
+        for i in range(n_fc):
+            used.extend([
+                f"{prefix}reg_branches.{lvl}.{2 * i}.weight",
+                f"{prefix}reg_branches.{lvl}.{2 * i}.bias",
+            ])
+        lvl += 1
+
+    tr = params["transformer"]
+    n_layers = len([k for k in tr if k.startswith("layer_")])
+    for i in range(n_layers):
+        t = f"transformer.decoder.layers.{i}."
+        layer = tr[f"layer_{i}"]
+        for ai, attn in ((0, "attn_0"), (1, "attn_1")):
+            w = _t2n(state[f"{prefix}{t}attentions.{ai}.attn.in_proj_weight"])
+            b = _t2n(state[f"{prefix}{t}attentions.{ai}.attn.in_proj_bias"])
+            E = w.shape[1]
+            for j, proj in enumerate(["q_proj", "k_proj", "v_proj"]):
+                set_in_tree(layer, [attn, proj, "kernel"], w[j * E:(j + 1) * E].T)
+                set_in_tree(layer, [attn, proj, "bias"], b[j * E:(j + 1) * E])
+            set_in_tree(layer, [attn, "out_proj", "kernel"],
+                        convert_linear(state[f"{prefix}{t}attentions.{ai}.attn.out_proj.weight"]))
+            set_in_tree(layer, [attn, "out_proj", "bias"],
+                        _t2n(state[f"{prefix}{t}attentions.{ai}.attn.out_proj.bias"]))
+            used.extend([
+                f"{prefix}{t}attentions.{ai}.attn.{k}"
+                for k in ("in_proj_weight", "in_proj_bias",
+                          "out_proj.weight", "out_proj.bias")
+            ])
+        set_in_tree(layer, ["ffn_0", "fc1", "kernel"],
+                    convert_linear(state[f"{prefix}{t}ffns.0.layers.0.0.weight"]))
+        set_in_tree(layer, ["ffn_0", "fc1", "bias"], _t2n(state[f"{prefix}{t}ffns.0.layers.0.0.bias"]))
+        set_in_tree(layer, ["ffn_0", "fc2", "kernel"],
+                    convert_linear(state[f"{prefix}{t}ffns.0.layers.1.weight"]))
+        set_in_tree(layer, ["ffn_0", "fc2", "bias"], _t2n(state[f"{prefix}{t}ffns.0.layers.1.bias"]))
+        used.extend([
+            f"{prefix}{t}ffns.0.layers.0.0.weight", f"{prefix}{t}ffns.0.layers.0.0.bias",
+            f"{prefix}{t}ffns.0.layers.1.weight", f"{prefix}{t}ffns.0.layers.1.bias",
+        ])
+        for ni in range(3):
+            set_in_tree(layer, [f"norm_{ni}", "scale"],
+                        _t2n(state[f"{prefix}{t}norms.{ni}.weight"]))
+            set_in_tree(layer, [f"norm_{ni}", "bias"],
+                        _t2n(state[f"{prefix}{t}norms.{ni}.bias"]))
+            used.extend([f"{prefix}{t}norms.{ni}.weight", f"{prefix}{t}norms.{ni}.bias"])
+    if "post_norm" in tr:
+        put_ln("transformer.decoder.post_norm", ["transformer", "post_norm"])
+    return used
