@@ -478,3 +478,67 @@ def convert_petr_head(state: Dict, params: Dict, prefix: str = "") -> List[str]:
     if "post_norm" in tr:
         put_ln("transformer.decoder.post_norm", ["transformer", "post_norm"])
     return used
+
+
+def convert_metro_network(state: Dict, params: Dict, prefix: str = "") -> List[str]:
+    """Map a reference ``METRO_Hand_Network`` state dict onto METRONetwork.
+
+    Reference modules (lib/external/metro/base_model.py:37-267):
+
+    * ``trans_encoder.{i}`` — three ``METROBlock``s, each a
+      ``METRO_Encoder`` (``bert.img_embedding`` input projection, separate
+      learned ``bert.position_embeddings``, an HF ``BertEncoder`` stack)
+      plus ``cls_head``/``residual`` output reduction. The
+      ``bert.embeddings.*`` and ``bert.pooler.*`` submodules are
+      constructed but DEAD in forward (base_model.py:69-135 never calls
+      them) — they are intentionally not consumed.
+    * ``upsampling`` 195->778 vertex upsampler, ``cam_param_fc{,2,3}``
+      weak-perspective camera head (base_model.py:199-203).
+
+    ``params`` is the METRONetwork param tree (mutated in place). Returns
+    the consumed torch keys.
+    """
+    used: List[str] = []
+
+    def put(torch_key, path, conv=convert_linear):
+        bias_key = torch_key.replace("weight", "bias")
+        set_in_tree(params, path + ["kernel"], conv(state[prefix + torch_key]))
+        if prefix + bias_key in state:
+            set_in_tree(params, path + ["bias"], _t2n(state[prefix + bias_key]))
+            used.append(prefix + bias_key)
+        used.append(prefix + torch_key)
+
+    def put_ln(torch_prefix, path):
+        set_in_tree(params, path + ["scale"], _t2n(state[prefix + torch_prefix + ".weight"]))
+        set_in_tree(params, path + ["bias"], _t2n(state[prefix + torch_prefix + ".bias"]))
+        used.extend([prefix + torch_prefix + ".weight", prefix + torch_prefix + ".bias"])
+
+    n_blocks = len([b for b in params if b.startswith("block_")])
+    for i in range(n_blocks):
+        t = f"trans_encoder.{i}."
+        blk = f"block_{i}"
+        put(t + "bert.img_embedding.weight", [blk, "img_embedding"])
+        set_in_tree(params, [blk, "position_embeddings"],
+                    _t2n(state[prefix + t + "bert.position_embeddings.weight"]))
+        used.append(prefix + t + "bert.position_embeddings.weight")
+        n_layers = len([k for k in params[blk] if k.endswith("_attn")])
+        for l in range(n_layers):
+            hf = t + f"bert.encoder.layer.{l}."
+            attn = [blk, f"layer{l}_attn"]
+            put(hf + "attention.self.query.weight", attn + ["query"])
+            put(hf + "attention.self.key.weight", attn + ["key"])
+            put(hf + "attention.self.value.weight", attn + ["value"])
+            put(hf + "attention.output.dense.weight", attn + ["out"])
+            put_ln(hf + "attention.output.LayerNorm", attn + ["ln"])
+            ffn = [blk, f"layer{l}_ffn"]
+            put(hf + "intermediate.dense.weight", ffn + ["intermediate"])
+            put(hf + "output.dense.weight", ffn + ["output"])
+            put_ln(hf + "output.LayerNorm", ffn + ["ln"])
+        put(t + "cls_head.weight", [blk, "cls_head"])
+        put(t + "residual.weight", [blk, "residual"])
+
+    put("upsampling.weight", ["upsampling"])
+    put("cam_param_fc.weight", ["cam_param_fc"])
+    put("cam_param_fc2.weight", ["cam_param_fc2"])
+    put("cam_param_fc3.weight", ["cam_param_fc3"])
+    return used
