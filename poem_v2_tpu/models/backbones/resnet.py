@@ -47,7 +47,12 @@ class FrozenBatchNorm(nn.Module):
 
 def make_norm(norm: str, features: int, dtype=jnp.float32, name=None):
     if norm == "gn":
-        groups = 32 if features % 32 == 0 else min(8, features)
+        if features % 32 == 0:
+            groups = 32
+        else:
+            # largest group count <= 8 that divides the channel width
+            # (param shapes are per-channel, so the choice is ckpt-safe)
+            groups = next(g for g in (8, 4, 2, 1) if features % g == 0)
         return nn.GroupNorm(num_groups=groups, dtype=dtype, name=name)
     if norm == "frozen_bn":
         return FrozenBatchNorm(features, dtype=dtype, name=name)

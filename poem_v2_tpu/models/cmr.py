@@ -1,18 +1,32 @@
 """CMR baseline: spiral-convolution mesh regression (single view).
 
-TPU re-design of the vendored CMR_G graph-conv baseline
-(lib/external/cmr/model.py:77-430, net.py:22-125): an image encoder
-produces a latent + 2D-pose cues; a coarse-to-fine spiral-convolution
-decoder regresses the mesh over a vertex hierarchy. The pieces map to
-TPU as:
+TPU re-design of the vendored CMR_G graph-conv baseline — the FULL
+reference network (lib/external/cmr/model.py:77-430, net.py:6-196):
+
+* ``EncodeUV`` — a ResNet trunk re-plumbed to also return the post-stem
+  feature ``x0`` (model.py:25-46);
+* a 4-stage skip-connected UV decoder producing a 21-channel 2D-pose
+  prior (model.py:252-262);
+* 15 fixed "relation" channel-sum maps (tip pairs + finger chains,
+  model.py:125-141) — here one static (15, 21) matrix contraction
+  instead of 15 per-relation channel sums;
+* ``EncodeMesh`` — a second trunk over ``cat([x0, uv_prior, relations])``
+  with a 3-ConvBlock reduce stem and a global fc latent (model.py:48-74);
+* the coarse-to-fine spiral decoder over a 5-level vertex hierarchy with
+  per-level 3-channel heads and Pool-averaged hierarchy residuals
+  (model.py:228-250), plus the latent ``SelfAttention`` (net.py:163-196);
+* a second UV decoder emitting refined uv + silhouette mask
+  (model.py:264-274).
+
+The graph ops map to TPU as:
 
 * SpiralConv (net.py:22-56) — gather a fixed spiral index sequence per
-  vertex and apply one Linear: a static ``take_along_axis`` + matmul,
-  replacing the torch ``index_select`` (and removing the need for the
-  torch_scatter CUDA dep mentioned in external/cmr/README.md).
-* ParallelDeblock / "ISM" (net.py:58-90) — upsample via a fixed sparse
-  matrix (dense matmul here: the largest level is 778x1556, trivially
-  MXU work) + multi-receptive-field spiral convs.
+  vertex and apply one Linear: a static ``take`` + matmul, replacing the
+  torch ``index_select`` (and removing the need for the torch_scatter
+  CUDA dep mentioned in external/cmr/README.md).
+* Pool / ParallelDeblock "ISM" (net.py:6-19,56-88) — upsample via a
+  fixed sparse matrix (dense matmul here: the largest level is 778x389,
+  trivially MXU work) + multi-receptive-field spiral convs.
 * The mesh hierarchy + spiral sequences come from precomputed template
   assets in the reference (template/transform.pkl); here they are
   synthesised deterministically from the MANO template (FPS hierarchy,
@@ -29,7 +43,8 @@ import numpy as np
 
 from ..mano import ManoLayer
 from ..utils.registry import MODEL
-from .backbones.resnet import ResNet
+from .backbones.resnet import BasicBlock, Bottleneck, make_norm
+from .neck import ConvBlock, upsample2x
 
 
 def _to_dense(m) -> np.ndarray:
@@ -38,12 +53,32 @@ def _to_dense(m) -> np.ndarray:
     return np.asarray(m, dtype=np.float32)
 
 
+# tip pairs + finger chains summed into extra evidence channels
+# (reference model.py:125-141)
+CMR_RELATION = (
+    (4, 8), (4, 12), (4, 16), (4, 20),
+    (8, 12), (8, 16), (8, 20),
+    (12, 16), (12, 20), (16, 20),
+    (1, 2, 3, 4), (5, 6, 7, 8), (9, 10, 11, 12), (13, 14, 15, 16),
+    (17, 18, 19, 20),
+)
+
+
+def relation_matrix(n_joints: int = 21) -> np.ndarray:
+    """(n_relations, n_joints) 0/1 matrix so the reference's per-relation
+    ``uv_prior[:, rel].sum(dim=1)`` loop becomes one einsum."""
+    m = np.zeros((len(CMR_RELATION), n_joints), np.float32)
+    for i, rel in enumerate(CMR_RELATION):
+        m[i, list(rel)] = 1.0
+    return m
+
+
 def extract_spirals(faces: np.ndarray, n_verts: int, seq_length: int) -> np.ndarray:
     """Spiral index sequences from mesh topology: ordered 1-ring walk via
     shared triangles, extended ring-by-ring to ``seq_length``.
 
     Topology-faithful equivalent of the spiralnet++ preprocessing the
-    reference runs on its template (external/cmr/utils.py:38-41); start
+    reference runs on its template (external/cmr/utils.py:361-400); start
     vertex choice is the lowest-index neighbour (deterministic; the
     upstream picks by geometry, so orderings can rotate — SpiralConv
     weights are sequence-position-specific, noted for converted ckpts).
@@ -85,14 +120,16 @@ def extract_spirals(faces: np.ndarray, n_verts: int, seq_length: int) -> np.ndar
     return out
 
 
-def load_spiral_transform(path: str, seq_length=(27, 27, 27), spiral_len: int = None):
+def load_spiral_transform(path: str, seq_length=(27, 27, 27, 27), spiral_len: int = None):
     """Load the reference CMR ``template/transform.pkl``.
 
     Format (external/cmr/utils.py:16-52): pickle with ``vertices`` (list
     of per-level vertex arrays), ``face`` (per-level faces),
     ``up_transform`` (list of scipy-sparse coarse->fine matrices).
     Returns ``(verts_list, spirals_list, up_mats)`` in the same layout as
-    :func:`build_mesh_hierarchy` (spirals computed from the loaded faces).
+    :func:`build_mesh_hierarchy` (spirals computed from the loaded faces;
+    the reference builds spirals for every level except the coarsest —
+    utils.py:38-41).
     """
     import pickle
 
@@ -108,12 +145,15 @@ def load_spiral_transform(path: str, seq_length=(27, 27, 27), spiral_len: int = 
     return verts, spirals, up_mats
 
 
-def build_mesh_hierarchy(v_template: np.ndarray, levels=(778, 389, 194, 97), spiral_len: int = 9):
+def build_mesh_hierarchy(
+    v_template: np.ndarray, levels=(778, 389, 194, 97, 49), spiral_len: int = 9
+):
     """Deterministic vertex hierarchy + per-level spiral indices + up matrices.
 
     Spirals are nearest-neighbour orderings (a topology-free stand-in for
     the reference's precomputed boundary spirals — identical tensor
-    contract: (n_nodes, seq_len) int indices).
+    contract: (n_nodes, seq_len) int indices). 5 levels like the
+    reference's ds_factors=[2,2,2,2] pipeline (utils.py:16-22).
     """
     verts = [v_template]
     keep_idx = []
@@ -149,8 +189,17 @@ def build_mesh_hierarchy(v_template: np.ndarray, levels=(778, 389, 194, 97), spi
     return verts, spirals, up_mats
 
 
+def mesh_pool(x: jnp.ndarray, up: np.ndarray) -> jnp.ndarray:
+    """Reference ``Pool`` (net.py:6-19): sparse coarse->fine upsample as a
+    dense matmul — the matrices are at most (778, 389)."""
+    u = jnp.asarray(np.asarray(up), dtype=x.dtype)
+    return jnp.einsum("fc,bcd->bfd", u, x)
+
+
 class SpiralConv(nn.Module):
-    """Gather the spiral sequence of each vertex, apply one Linear."""
+    """Gather the spiral sequence of each vertex, apply one Linear
+    (net.py:22-56; flatten order (seq, channel) matches the torch
+    ``index_select(...).view(bs, n, -1)``)."""
 
     out_channels: int
     indices: object  # static np (n_nodes, seq_len)
@@ -166,7 +215,11 @@ class SpiralConv(nn.Module):
 
 
 class ParallelDeblock(nn.Module):
-    """ISM: upsample + multi-receptive-field spiral convs (net.py:58-90)."""
+    """ISM: upsample + multi-receptive-field spiral convs (net.py:56-88).
+
+    Channel split and concat order follow the reference exactly:
+    relu(conv1(out) + cat[conv(out), conv_2d3(out), conv_d3(out)]).
+    """
 
     out_channels: int
     indices: object  # np (n_nodes, S)
@@ -175,8 +228,7 @@ class ParallelDeblock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        up = jnp.asarray(np.asarray(self.up), dtype=x.dtype)
-        out = jnp.einsum("fc,bcd->bfd", up, x)
+        out = mesh_pool(x, self.up)
         idx = np.asarray(self.indices)
         s = idx.shape[1]
         short = SpiralConv(self.out_channels, idx[:, :1], dtype=self.dtype, name="conv1")(out)
@@ -186,68 +238,202 @@ class ParallelDeblock(nn.Module):
         return nn.relu(short + jnp.concatenate([p, p_2d3, p_d3], axis=2))
 
 
-class CMRG(nn.Module):
-    """Image encoder -> latent -> coarse-to-fine spiral decoder -> mesh."""
+_TRUNKS = {
+    "resnet18": (BasicBlock, (2, 2, 2, 2), (1000, 512, 256, 128, 64)),
+    "resnet34": (BasicBlock, (3, 4, 6, 3), (1000, 512, 256, 128, 64)),
+    "resnet50": (Bottleneck, (3, 4, 6, 3), (1000, 2048, 1024, 512, 256)),
+}
 
-    backbone: nn.Module
-    spirals: object  # per-level np arrays, fine->coarse order
-    up_mats: object  # per-level np arrays
-    n_coarse: int = 97
-    out_channels: Tuple[int, ...] = (64, 128, 256)
-    v_std: float = 0.2  # vertex de-normalisation (model.py:91)
+
+def _trunk_layers(x, arch: str, norm: str, dtype):
+    """The 4 residual stages, named to match convert_resnet_backbone."""
+    block_cls, layers, _ = _TRUNKS[arch]
+    feats = []
+    widths = (64, 128, 256, 512)
+    for i, (width, n_blocks) in enumerate(zip(widths, layers)):
+        for b in range(n_blocks):
+            strides = 2 if (b == 0 and i > 0) else 1
+            x = block_cls(width, strides=strides, norm=norm, dtype=dtype, name=f"layer{i + 1}_block{b}")(x)
+        feats.append(x)
+    return feats
+
+
+class EncodeUV(nn.Module):
+    """ResNet trunk returning (x0, x4, x3, x2, x1) like the reference
+    EncodeUV (model.py:25-46): x0 is the post-stem pre-maxpool feature."""
+
+    arch: str = "resnet18"
+    norm: str = "gn"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, image: jnp.ndarray, train: bool = False):
-        B = image.shape[0]
-        feats = self.backbone(image.astype(self.dtype))
-        latent = feats["res_layer4_mean"] if isinstance(feats, dict) else jnp.mean(feats[-1], (1, 2))
+    def __call__(self, image: jnp.ndarray):
+        x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False, dtype=self.dtype, name="stem_conv")(image)
+        x = make_norm(self.norm, 64, self.dtype, name="stem_norm")(x)
+        x0 = nn.relu(x)
+        x = nn.max_pool(x0, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+        x1, x2, x3, x4 = _trunk_layers(x, self.arch, self.norm, self.dtype)
+        return x0, x4, x3, x2, x1
 
-        x = nn.Dense(self.n_coarse * self.out_channels[-1], dtype=self.dtype, name="latent_fc")(latent)
-        x = x.reshape(B, self.n_coarse, self.out_channels[-1])
 
-        # coarse -> fine: levels are [778, 389, 194] spirals with ups
-        chans = list(self.out_channels)[::-1]  # e.g. 256, 128, 64
-        for li, ch in enumerate(chans):
-            level = len(chans) - 1 - li  # up matrix index (coarse side)
+class EncodeMesh(nn.Module):
+    """Second trunk over cat([x0, uv_prior, relations]) (model.py:48-74):
+    3-ConvBlock reduce stem, residual stages, global-mean fc latent."""
+
+    arch: str = "resnet18"
+    norm: str = "gn"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        in_ch = x.shape[-1]
+        x = ConvBlock(in_ch, 3, norm=self.norm, relu=True, dtype=self.dtype, name="reduce_0")(x)
+        x = ConvBlock(128, 3, norm=self.norm, relu=True, dtype=self.dtype, name="reduce_1")(x)
+        x = ConvBlock(64, 1, norm=self.norm, relu=False, dtype=self.dtype, name="reduce_2")(x)
+        x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+        x1, x2, x3, x4 = _trunk_layers(x, self.arch, self.norm, self.dtype)
+        latent = jnp.mean(x4, axis=(1, 2))
+        latent = nn.Dense(_TRUNKS[self.arch][2][0], dtype=self.dtype, name="fc")(latent)
+        return latent, x4, x3, x2, x1
+
+
+class UVDecoder(nn.Module):
+    """4-stage skip-connected deconv decoder (model.py:92-134,252-274):
+    2x bilinear upsample (align_corners=False) + skip concat + ConvBlock,
+    then a norm-free head and sigmoid."""
+
+    widths: Tuple[int, ...]  # per-delayer output widths, e.g. (256, 128, 64, 64)
+    head_features: int  # 21 (uv prior) or 22 (uv + mask)
+    norm: str = "gn"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        x = z[0]
+        for i, w in enumerate(self.widths):
+            x = upsample2x(x)
+            if i < len(self.widths) - 1:
+                x = jnp.concatenate([x, z[i + 1]], axis=-1)
+            x = ConvBlock(w, 3, norm=self.norm, relu=True, dtype=self.dtype)(x)
+        x = ConvBlock(self.head_features, 3, norm="none", relu=False, dtype=self.dtype, name="head")(x)
+        return nn.sigmoid(x)
+
+
+class SelfAttention(nn.Module):
+    """Latent-vector self-attention over feature dims (net.py:163-196)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, D)
+        d = x.shape[-1]
+        q = nn.Dense(d, dtype=self.dtype, name="query_conv")(x)
+        k = nn.Dense(d, dtype=self.dtype, name="key_conv")(x)
+        v = nn.Dense(d, dtype=self.dtype, name="value_conv")(x)
+        energy = q[:, :, None] * k[:, None, :]  # (B, D, D): outer product
+        attn = nn.softmax(energy, axis=-1)
+        out = jnp.einsum("bj,bij->bi", v, attn)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,))
+        return gamma * out + x
+
+
+class CMRG(nn.Module):
+    """The full CMR_G graph: dual trunks, UV prior/refine decoders,
+    relation maps, latent attention, coarse-to-fine spiral decoder with
+    Pool-averaged hierarchy residuals (model.py:77-302)."""
+
+    arch: str = "resnet18"
+    norm: str = "gn"
+    spirals: object = None  # 4 np arrays, fine->coarse (778, 389, 195, 98)
+    up_mats: object = None  # 4 np arrays, (fine_l, coarse_{l+1}) down to (98, 49)
+    out_channels: Tuple[int, ...] = (32, 64, 128, 256)
+    uv_channels: int = 21
+    att: bool = True
+    v_std: float = 0.2  # vertex de-normalisation (model.py:91)
+    dtype: jnp.dtype = jnp.float32
+
+    def decoder(self, latent: jnp.ndarray):
+        """model.py:228-250: Linear -> 4x [ParallelDeblock -> head ->
+        Pool-average with previous level -> concat] -> fine-first list."""
+        oc = list(self.out_channels)
+        n_coarse = np.asarray(self.up_mats[-1]).shape[1]
+        if self.att:
+            latent = SelfAttention(dtype=self.dtype, name="attention")(latent)
+        x = nn.Dense(n_coarse * oc[-1], dtype=self.dtype, name="de_linear")(latent)
+        x = x.reshape(-1, n_coarse, oc[-1])
+        preds = []
+        n_levels = len(oc)
+        for i in range(n_levels):
+            level = n_levels - 1 - i  # spiral/up index: coarsest first
             x = ParallelDeblock(
-                ch,
+                oc[level],
                 np.asarray(self.spirals[level]),
                 np.asarray(self.up_mats[level]),
                 dtype=self.dtype,
-                name=f"deblock_{li}",
+                name=f"deblock_{i + 1}",
             )(x)
+            pred = SpiralConv(3, np.asarray(self.spirals[level]), dtype=self.dtype, name=f"heads_{i}")(x)
+            if i > 0:
+                pred = (pred + mesh_pool(preds[-1], self.up_mats[level])) / 2.0
+            preds.append(pred)
+            x = jnp.concatenate([x, pred], axis=2)
+        return preds[::-1]
 
-        verts = SpiralConv(
-            3, np.asarray(self.spirals[0]), dtype=self.dtype, name="head"
-        )(x).astype(jnp.float32)
-        verts = verts * self.v_std  # de-normalise (model.py:91 V_STD)
-        return {"pred_verts_3d_rel": verts}
+    @nn.compact
+    def __call__(self, image: jnp.ndarray, train: bool = False):
+        latent_size = _TRUNKS[self.arch][2]
+        z_uv = EncodeUV(self.arch, self.norm, dtype=self.dtype, name="encode_uv")(
+            image.astype(self.dtype)
+        )
+        uv_widths = (latent_size[2], latent_size[3], latent_size[4], latent_size[4])
+        uv_prior = UVDecoder(
+            uv_widths, self.uv_channels, norm=self.norm, dtype=self.dtype, name="uv_decoder"
+        )(z_uv[1:])
+        rel = jnp.asarray(relation_matrix(self.uv_channels), self.dtype)
+        rel_maps = jnp.einsum("rc,bhwc->bhwr", rel, uv_prior)
+        z_mesh = EncodeMesh(self.arch, self.norm, dtype=self.dtype, name="encode_mesh")(
+            jnp.concatenate([z_uv[0], uv_prior, rel_maps], axis=-1)
+        )
+        mesh_pred = self.decoder(z_mesh[0])
+        uv = UVDecoder(
+            uv_widths, self.uv_channels + 1, norm=self.norm, dtype=self.dtype, name="uv_decoder2"
+        )(z_mesh[1:])
+        verts = mesh_pred[0].astype(jnp.float32) * self.v_std  # de-normalise
+        return {
+            "pred_verts_3d_rel": verts,
+            "mesh_pred": mesh_pred,
+            "uv_pred": uv[..., : self.uv_channels],
+            "mask_pred": uv[..., self.uv_channels],
+            "uv_prior": uv_prior,
+        }
 
 
 def create_cmr_model(cfg=None, dtype=jnp.float32):
-    bb = (
-        ResNet.from_config(cfg.BACKBONE, dtype=dtype)
-        if cfg is not None and "BACKBONE" in cfg
-        else ResNet(arch="resnet18", norm="gn", dtype=dtype)
+    get = (lambda k, d: cfg.get(k, d)) if cfg is not None else (lambda k, d: d)
+    bb_cfg = cfg.BACKBONE if cfg is not None and "BACKBONE" in cfg else None
+    arch = bb_cfg.TYPE.lower() if bb_cfg is not None else "resnet18"
+    norm = (
+        "frozen_bn"
+        if bb_cfg is not None and bb_cfg.get("FREEZE_BATCHNORM", False)
+        else (bb_cfg.get("NORM", "gn") if bb_cfg is not None else "gn")
     )
     mano = ManoLayer(center_idx=0)
-    transform_path = cfg.get("TRANSFORM_PKL", None) if cfg is not None else None
+    transform_path = get("TRANSFORM_PKL", None)
     if transform_path:
         # original reference topology assets (template/transform.pkl)
         _, spirals, up_mats = load_spiral_transform(transform_path)
-        n_coarse = up_mats[2].shape[1] if len(up_mats) > 2 else up_mats[-1].shape[1]
     else:
         verts = np.asarray(
             mano(np.zeros((1, 48), np.float32), np.zeros((1, 10), np.float32)).verts[0]
         )
         _, spirals, up_mats = build_mesh_hierarchy(verts)
-        n_coarse = 97
     model = CMRG(
-        backbone=bb,
-        spirals=tuple(spirals[:3]),
-        up_mats=tuple(up_mats[:3]),
-        n_coarse=n_coarse,
+        arch=arch,
+        norm=norm,
+        spirals=tuple(np.asarray(s) for s in spirals[:4]),
+        up_mats=tuple(np.asarray(u) for u in up_mats[:4]),
+        out_channels=tuple(get("OUT_CHANNELS", (32, 64, 128, 256))),
+        att=bool(get("ATT", True)),
         dtype=dtype,
     )
     return model, {"mano_layer": mano}

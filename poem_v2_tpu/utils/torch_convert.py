@@ -542,3 +542,70 @@ def convert_metro_network(state: Dict, params: Dict, prefix: str = "") -> List[s
     put("cam_param_fc2.weight", ["cam_param_fc2"])
     put("cam_param_fc3.weight", ["cam_param_fc3"])
     return used
+
+
+def convert_cmr_network(state: Dict, params: Dict, arch: str = "resnet18") -> List[str]:
+    """Map a reference ``CMR_G`` state dict onto the flax :class:`CMRG`.
+
+    Reference modules (lib/external/cmr/model.py:77-302, net.py:6-196):
+
+    * ``backbone`` — EncodeUV wrapping a reference ResNet's stem +
+      residual stages (model.py:25-46); stem/stage naming is the same
+      torchvision layout :func:`convert_resnet_backbone` already handles.
+    * ``backbone_mesh`` — EncodeMesh: ``reduce.{0,1,2}`` ConvBlocks, the
+      second trunk's stages, and the global ``fc`` (model.py:48-74).
+    * ``uv_delayer{,2}.{0..3}`` + ``uv_head{,2}`` — the two skip-connected
+      UV decoders (model.py:152-186).
+    * ``attention`` — latent SelfAttention q/k/v Linears + gamma
+      (net.py:163-196).
+    * ``de_layers.0`` Linear and ``de_layers.{1..4}`` ParallelDeblocks
+      (four SpiralConv Linears each), ``heads.{0..3}`` per-level
+      3-channel SpiralConvs (model.py:196-210).
+
+    Build the flax model with ``norm='frozen_bn'`` so BatchNorm running
+    statistics land in FrozenBatchNorm parameters. Returns consumed keys.
+    """
+    used: List[str] = []
+
+    def put(torch_key, path, conv=convert_linear):
+        set_in_tree(params, path + ["kernel"], conv(state[torch_key]))
+        used.append(torch_key)
+        bias_key = torch_key.replace("weight", "bias")
+        if bias_key in state:
+            set_in_tree(params, path + ["bias"], _t2n(state[bias_key]))
+            used.append(bias_key)
+
+    used += convert_resnet_backbone(
+        state, {"backbone": params["encode_uv"]}, prefix="backbone.", arch=arch
+    )
+    # EncodeMesh: stem keys don't exist under backbone_mesh., only stages
+    used += convert_resnet_backbone(
+        state, {"backbone": params["encode_mesh"]}, prefix="backbone_mesh.", arch=arch
+    )
+    for i in range(3):
+        used += convert_conv_block(
+            state, f"backbone_mesh.reduce.{i}", params["encode_mesh"], [f"reduce_{i}"]
+        )
+    put("backbone_mesh.fc.weight", ["encode_mesh", "fc"])
+
+    for dec, delayer, head in (
+        ("uv_decoder", "uv_delayer", "uv_head"),
+        ("uv_decoder2", "uv_delayer2", "uv_head2"),
+    ):
+        for i in range(4):
+            used += convert_conv_block(state, f"{delayer}.{i}", params[dec], [f"ConvBlock_{i}"])
+        used += convert_conv_block(state, head, params[dec], ["head"])
+
+    if "attention.gamma" in state:
+        for lin in ("query_conv", "key_conv", "value_conv"):
+            put(f"attention.{lin}.weight", ["attention", lin])
+        params["attention"]["gamma"] = _t2n(state["attention.gamma"]).astype(np.float32)
+        used.append("attention.gamma")
+
+    put("de_layers.0.weight", ["de_linear"])
+    n_levels = len([k for k in params if k.startswith("deblock_")])
+    for i in range(1, n_levels + 1):
+        for conv in ("conv1", "conv_d3", "conv_2d3", "conv"):
+            put(f"de_layers.{i}.{conv}.layer.weight", [f"deblock_{i}", conv, "Dense_0"])
+        put(f"heads.{i - 1}.layer.weight", [f"heads_{i - 1}", "Dense_0"])
+    return used

@@ -123,7 +123,7 @@ def test_mesh_hierarchy_properties():
 
     v = np.random.RandomState(0).randn(778, 3).astype(np.float32)
     verts, spirals, ups = build_mesh_hierarchy(v)
-    assert [x.shape[0] for x in verts] == [778, 389, 194, 97]
+    assert [x.shape[0] for x in verts] == [778, 389, 194, 97, 49]
     assert spirals[0].shape == (778, 9)
     assert ups[0].shape == (778, 389)
     # upsample rows are convex combinations
