@@ -82,6 +82,18 @@ def main():
         "--knn_k", type=int, default=0,
         help="override N_NEIGHBOR/N_NEIGHBOR_QUERY (0 = reference K=32)",
     )
+    parser.add_argument(
+        "--size", type=str, default="medium",
+        choices=["small", "medium", "large", "huge", "medium_MANO"],
+        help="released model size tier (reference scripts/eval_single.py:38-39 "
+             "MODEL_CATEGORY/EMBED_SIZE: 128/256/512/1024-wide)",
+    )
+    parser.add_argument(
+        "--approx_knn", action="store_true",
+        help="XLA approx_max_k KNN selection (recall ~0.95 on TPU) instead "
+             "of the exact fused Pallas kernels; MPJPE deviation vs exact "
+             "measured by scripts/measure_approx_knn.py (docs/performance.md)",
+    )
     args = parser.parse_args()
 
     # The tunneled TPU relay (axon, 127.0.0.1:8093) drops occasionally and
@@ -111,11 +123,14 @@ def main():
     # uses (reference config/release/train_medium.yaml via scripts/
     # eval_single.py:38-39) so the bench cannot drift from the parity target
     yaml_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "configs", "release", "train_medium.yaml"
+        os.path.dirname(os.path.abspath(__file__)), "configs", "release",
+        f"train_{args.size}.yaml"
     )
     full_cfg = Config.from_yaml(yaml_path)
     cfg = full_cfg.MODEL
     tr = cfg.HEAD.TRANSFORMER
+    expected_embed = {"small": 128, "medium": 256, "large": 512, "huge": 1024,
+                      "medium_MANO": 256}[args.size]
     assert (
         cfg.BACKBONE.TYPE == "HRNet"
         and cfg.BACKBONE.WIDTH == 40
@@ -123,7 +138,7 @@ def main():
         and tr.N_NEIGHBOR == 32
         and tr.N_NEIGHBOR_QUERY == 32
         and cfg.HEAD.N_SAMPLE == 4096
-        and cfg.HEAD.EMBED_DIMS == 256
+        and cfg.HEAD.EMBED_DIMS == expected_embed
         and full_cfg.DATA_PRESET.IMAGE_SIZE == [256, 256]
     ), "release recipe drifted from the benched flagship contract"
     if args.backbone != cfg.BACKBONE.TYPE:  # explicit tier override only
@@ -134,7 +149,10 @@ def main():
     if args.knn_k:
         tr.N_NEIGHBOR = args.knn_k
         tr.N_NEIGHBOR_QUERY = args.knn_k
-    model, aux = create_poem_model(cfg, dtype=dtype, knn_bf16_dist=args.knn_bf16)
+    model, aux = create_poem_model(
+        cfg, dtype=dtype, knn_bf16_dist=args.knn_bf16,
+        fused_knn=False if args.approx_knn else None,
+    )
 
     def run_at_batch(bs: int) -> float:
         ds = SyntheticMultiviewDataset(
@@ -201,8 +219,11 @@ def main():
         "value": round(best, 2),
         "unit": "frames/s",
         "vs_baseline": round(best / 500.0, 4),
-        "config": f"configs/release/train_medium.yaml ({args.backbone} {args.dtype} "
-                  f"batch{args.batch_size or 'auto'} {args.views}view 4096bps 3blocks 256d)",
+        "config": f"configs/release/train_{args.size}.yaml ({args.backbone} {args.dtype} "
+                  f"batch{args.batch_size or 'auto'} {args.views}view 4096bps 3blocks "
+                  f"{expected_embed}d"
+                  f"{' approxKNN' if args.approx_knn else ''}"
+                  f"{f' K{args.knn_k}' if args.knn_k else ''})",
         # which hardware actually ran: guards against a tunnel outage
         # silently recording a CPU-platform number as the chip result
         "platform": jax.devices()[0].platform,

@@ -127,7 +127,15 @@ class MultiviewWebDataset:
         self.is_train = is_train
         self.process_index = process_index
         self.process_count = process_count
-        self.rng = random.Random(seed + process_index)
+        self._seed = seed + process_index
+        self.rng = random.Random(self._seed)
+        # WORKERS > 1: decode+transform in an ordered thread pool (the SPMD
+        # stand-in for the reference DataLoader's num_workers,
+        # multiview_wds.py worker pipeline). cv2/numpy release the GIL, so
+        # threads scale on multi-core hosts; sample ORDER stays exactly the
+        # submission order and per-sample RNG is drawn deterministically in
+        # the submitting thread, so results are thread-timing independent.
+        self.workers = int(cfg.get("WORKERS", 0))
         self.transform = build_transform(
             cfg.TRANSFORM, data_preset=data_preset, is_train=is_train
         )
@@ -137,7 +145,13 @@ class MultiviewWebDataset:
     def _shards_for_host(self) -> List[str]:
         return split_urls_for_process(self.urls, self.process_index, self.process_count)
 
-    def __iter__(self) -> Iterator[Dict]:
+    def _raw_stream(self) -> Iterator[Dict]:
+        """Shuffled stream of RAW (still-encoded) samples.
+
+        The shuffle buffer holds jpeg bytes rather than decoded arrays —
+        same ordering decisions as the reference's shuffle(1000), ~10x
+        less resident memory.
+        """
         shards = self._shards_for_host()
         if self.is_train:
             shards = list(shards)
@@ -149,20 +163,41 @@ class MultiviewWebDataset:
                 logger.warning(f"shard missing, skipped: {shard}")
                 continue
             for raw in iter_tar_samples(shard):
-                item = decode_sample(raw)
                 if buffer_size:
-                    buffer.append(item)
+                    buffer.append(raw)
                     if len(buffer) >= buffer_size:
                         idx = self.rng.randrange(len(buffer))
-                        yield self.process_data_item(buffer.pop(idx))
+                        yield buffer.pop(idx)
                 else:
-                    yield self.process_data_item(item)
+                    yield raw
         while buffer:
             idx = self.rng.randrange(len(buffer))
-            yield self.process_data_item(buffer.pop(idx))
+            yield buffer.pop(idx)
+
+    def __iter__(self) -> Iterator[Dict]:
+        stream = self._raw_stream()
+        if self.workers <= 1:
+            for raw in stream:
+                yield self.process_data_item(decode_sample(raw))
+            return
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        def work(raw: Dict, rng: random.Random) -> Dict:
+            return self.process_data_item(decode_sample(raw), rng=rng)
+
+        with ThreadPoolExecutor(self.workers) as ex:
+            futs: deque = deque()
+            for i, raw in enumerate(stream):
+                # per-sample RNG drawn HERE (deterministic submission order)
+                futs.append(ex.submit(work, raw, random.Random(self._seed * 1_000_003 + i)))
+                if len(futs) >= self.workers * 2:
+                    yield futs.popleft().result()
+            while futs:
+                yield futs.popleft().result()
 
     # -- the reference's process_data_item, loop-for-loop ------------------
-    def process_data_item(self, item: Dict) -> Dict:
+    def process_data_item(self, item: Dict, rng: random.Random = None) -> Dict:
         imgs = {k: v for k, v in item.items() if k.startswith("image")}
         n_cams = len(imgs)
         labels = dict(item["label.pyd"])
@@ -179,10 +214,11 @@ class MultiviewWebDataset:
         if self.inv_extr:
             labels["cam_extr"] = [np.linalg.inv(labels["cam_extr"][i]) for i in range(n_cams)]
 
+        rng = rng if rng is not None else self.rng
         indices = list(range(n_cams))
         if self.random_n_views:
-            self.rng.shuffle(indices)
-            n = int(round(self.rng.gauss(4, 2)))
+            rng.shuffle(indices)
+            n = int(round(rng.gauss(4, 2)))
             n = min(max(self.view_range[0], n), self.view_range[1])
             n = min(n, n_cams)
             indices_keep = indices[:n]

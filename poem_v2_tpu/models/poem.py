@@ -207,7 +207,7 @@ def _default_use_flash() -> bool:
 def create_poem_model(
     cfg: Config, dtype=jnp.float32, use_flash: bool = None, remat: bool = True,
     use_flash_train: bool = True, exact_knn: bool = False,
-    knn_bf16_dist: bool = False
+    knn_bf16_dist: bool = False, fused_knn: bool = None
 ) -> Tuple[POEMNet, Dict[str, Any]]:
     """Build a POEMNet + auxiliary constants from a reference-schema config.
 
@@ -286,7 +286,10 @@ def create_poem_model(
         pt_anchor_idx=np.asarray(pt_anchor_idx),
         anchor_xyz=anchor_xyz,
         approx_knn=not exact_knn,
-        use_fused_knn=use_flash,  # same condition: Pallas lowers on real TPUs
+        # fused (exact Pallas) KNN follows use_flash unless overridden —
+        # fused_knn=False + exact_knn=False selects the approx_max_k XLA
+        # path for the `--approx_knn` eval bench (docs/performance.md)
+        use_fused_knn=use_flash if fused_knn is None else fused_knn,
         knn_bf16_dist=knn_bf16_dist,
         use_fused_sampling=use_flash,
         mano_layer=mano_layer if parametric else None,

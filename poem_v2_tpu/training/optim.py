@@ -9,7 +9,37 @@ steps, matching scripts/train_ddp.py:112-116), L2 grad clipping.
 from __future__ import annotations
 
 
+import jax
+import jax.numpy as jnp
 import optax
+
+
+def clip_by_per_param_norm(
+    max_norm: float, norm_type: float = 2.0
+) -> optax.GradientTransformation:
+    """Clip every parameter tensor's p-norm to ``max_norm`` individually.
+
+    Reference semantics: ``clip_gradient`` (lib/utils/net_utils.py:123-133)
+    loops over parameters calling ``torch.nn.utils.clip_grad_norm_`` on
+    each one — far more aggressive than a single global-norm clip.  Torch's
+    formula per tensor: ``coef = max_norm / (norm + 1e-6)``, applied only
+    when ``coef < 1``.
+    """
+
+    def clip_leaf(g):
+        g32 = g.astype(jnp.float32)
+        if norm_type == float("inf"):
+            norm = jnp.max(jnp.abs(g32))
+        else:
+            norm = jnp.sum(jnp.abs(g32) ** norm_type) ** (1.0 / norm_type)
+        coef = jnp.minimum(max_norm / (norm + 1e-6), 1.0)
+        return (g32 * coef).astype(g.dtype)
+
+    def update_fn(updates, state, params=None):
+        del params
+        return jax.tree_util.tree_map(clip_leaf, updates), state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(), update_fn)
 
 
 def build_schedule(cfg, steps_per_epoch: int) -> optax.Schedule:
@@ -47,8 +77,15 @@ def build_optimizer(cfg, steps_per_epoch: int = 1) -> optax.GradientTransformati
     chain = []
     if cfg.get("GRAD_CLIP_ENABLED", True):
         clip = cfg.get("GRAD_CLIP", {})
-        norm = clip.get("NORM", 1.0) if hasattr(clip, "get") else 1.0
-        chain.append(optax.clip_by_global_norm(norm))
+        get = clip.get if hasattr(clip, "get") else (lambda k, d=None: d)
+        norm = get("NORM", 1.0)
+        norm_type = float(get("TYPE", 2))
+        # reference default = per-parameter clipping (net_utils.py:123-133);
+        # MODE: global opts into the single global-norm clip instead
+        if get("MODE", "per_param") == "global":
+            chain.append(optax.clip_by_global_norm(norm))
+        else:
+            chain.append(clip_by_per_param_norm(norm, norm_type))
     chain.append(opt)
     tx = optax.chain(*chain)
 

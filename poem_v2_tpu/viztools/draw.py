@@ -95,6 +95,78 @@ def draw_batch_verts_images(
     return np.stack(panels)
 
 
+def draw_3d_skeleton(image_size, joints_xyz: np.ndarray) -> np.ndarray:
+    """Render a 3D hand skeleton to an (H, W, 3) uint8 panel.
+
+    Matplotlib stand-in for the reference's mayavi/matplotlib 3D panel
+    (lib/viztools/draw.py:349): camera-space joints on a 3D axes,
+    fingers coloured like the 2D overlay.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    h, w = image_size
+    fig = plt.figure(figsize=(w / 100.0, h / 100.0), dpi=100)
+    ax = fig.add_subplot(111, projection="3d")
+    j = np.asarray(joints_xyz, dtype=np.float64)
+    for li, (a, b) in enumerate(HAND_LINKS):
+        c = np.asarray(_FINGER_COLORS[li // 4], dtype=np.float64) / 255.0
+        ax.plot(j[[a, b], 0], j[[a, b], 2], -j[[a, b], 1], color=tuple(c), lw=2)
+    ax.scatter(j[:, 0], j[:, 2], -j[:, 1], s=8, c="k")
+    ax.set_box_aspect((1, 1, 1))
+    ax.view_init(elev=20, azim=-70)
+    fig.tight_layout(pad=0)
+    fig.canvas.draw()
+    buf = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    if buf.shape[:2] != (h, w):
+        buf = cv2.resize(buf, (w, h))
+    return buf
+
+
+def save_a_image_with_mesh_joints(
+    image: np.ndarray,      # (H, W, 3) uint8 RGB
+    cam_param: np.ndarray,  # (3, 3) intrinsics
+    mesh_xyz: np.ndarray,   # (778, 3) CAMERA-space vertices
+    face: np.ndarray,       # (F, 3)
+    pose_uv: np.ndarray,    # (21, 2) pixel joints
+    pose_xyz: np.ndarray,   # (21, 3) CAMERA-space joints
+    file_name: str = None,
+    padding: int = 0,
+    ret: bool = False,
+    with_skeleton_3d: bool = False,
+    renderer=None,
+) -> np.ndarray:
+    """Per-sample composite: [raw | 2D skeleton | shaded mesh overlay]
+    (+ optional 3D-skeleton panel), one row, written as one image.
+
+    Reference-equivalent of ``save_a_image_with_mesh_joints``
+    (lib/viztools/draw.py:501) as used by the eval draw callback
+    (lib/utils/testing.py:171-193, mayavi/3D panels off): the mesh panel
+    is rendered by the painter rasteriser instead of OpenDR.
+    """
+    if renderer is None:
+        from .renderer import render_mesh_overlay as renderer
+    rend = renderer(image, mesh_xyz, face, cam_param)
+    skeleton = draw_joints_2d(image, pose_uv)
+    img_list = [image, skeleton, rend]
+    if with_skeleton_3d:
+        img_list.append(draw_3d_skeleton(image.shape[:2], pose_xyz))
+
+    h, w = image.shape[:2]
+    grid = np.zeros((h + padding, len(img_list) * (w + padding), 3), np.uint8)
+    x = 0
+    for panel in img_list:
+        grid[:h, x : x + w] = panel[..., :3]
+        x += w + padding
+    if ret or file_name is None:
+        return grid
+    cv2.imwrite(file_name, cv2.cvtColor(grid, cv2.COLOR_RGB2BGR))
+    return grid
+
+
 def tile_views(images: np.ndarray, cols: int = 4) -> np.ndarray:
     """Tile (V, H, W, 3) views into a grid image."""
     v, h, w, c = images.shape

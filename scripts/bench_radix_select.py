@@ -61,8 +61,12 @@ def main():
         def rpass(p, carry):
             prefix, kk = carry           # (bq, 1) int32 prefix, (bq, 1) k left
             shift = 28 - 4 * p
-            hi = jax.lax.shift_right_logical(keys, shift + 4)
-            active = hi == prefix        # (bq, N)
+            # pass 0 is all-active by definition; the shift is clamped to 31
+            # because shift+4 == 32 on pass 0 is UB for a 32-bit logical
+            # shift (advisor r3).  Nibble order is UNSIGNED radix order,
+            # correct only for non-negative keys (asserted host-side).
+            hi = jax.lax.shift_right_logical(keys, jnp.minimum(shift + 4, 31))
+            active = (p == 0) | (hi == prefix)   # (bq, N)
             nib = jax.lax.shift_right_logical(keys, shift) & 0xF
             # cumulative counts c_t = #{active & nib < t}, t = 1..15
             cnt = [
@@ -159,6 +163,18 @@ def main():
     d2 = (rs.rand(B, MP, N).astype(np.float32) * 4.0)
     col = np.arange(N, dtype=np.int32)[None, None]
     keys_np = (d2.view(np.int32) & ~0xFFF) | (col & 0xFFF)
+    # kernel preconditions (they mirror the fused KNN kernel's key format):
+    #  - non-negative keys: radix8's logical-shift nibble order is unsigned
+    #    radix order, which matches signed comparisons only for keys >= 0
+    #    (positive-float bit patterns are non-negative int32)
+    #  - per-row-unique keys: the scan kernels' strict '>' threshold rounds
+    #    and bcast's exactly-CJ-per-chunk cumsum-slot extraction both skip
+    #    ties; uniqueness is guaranteed by the packed low-12-bit column id
+    assert (keys_np >= 0).all(), "radix order requires non-negative keys"
+    assert all(
+        len(np.unique(keys_np[b, m])) == N
+        for b in range(0, B, 7) for m in range(0, MP, 311)
+    ), "threshold scans require per-row-unique keys"
     keys = jnp.asarray(keys_np)
 
     # correctness: radix8 == scan32 == numpy partition
@@ -172,13 +188,24 @@ def main():
             print("  first mismatches:", bad, got[tuple(bad[0])], ref[tuple(bad[0])])
 
     cur = np.asarray(run(cur_kernel, keys, scratch=True))
-    bc = np.asarray(run(bcast_kernel, keys, scratch=True))
-    print(f"cur == bcast (thr + onehot checksum): {np.array_equal(cur, bc)}")
+    # bcast (cumsum-slot extraction) does NOT lower: Mosaic TC has no
+    # cumsum primitive (measured r4) — kept for the day it gains one
+    have_bcast = False
+    try:
+        bc = np.asarray(run(bcast_kernel, keys, scratch=True))
+        have_bcast = np.array_equal(cur, bc)
+        print(f"cur == bcast (thr + onehot checksum): {have_bcast}")
+    except Exception as e:  # noqa: BLE001
+        print(f"bcast kernel unavailable: {type(e).__name__}: "
+              f"{str(e).splitlines()[0][:100]}")
 
-    for name, kern, scr in (
-            ("pass1", pass1_kernel, False), ("scan32", scan32_kernel, False),
-            ("radix8", radix8_kernel, False), ("cur", cur_kernel, True),
-            ("bcast", bcast_kernel, True)):
+    variants = [
+        ("pass1", pass1_kernel, False), ("scan32", scan32_kernel, False),
+        ("radix8", radix8_kernel, False), ("cur", cur_kernel, True),
+    ]
+    if have_bcast:
+        variants.append(("bcast", bcast_kernel, True))
+    for name, kern, scr in variants:
         fn = jax.jit(functools.partial(run, kern, scratch=scr))
         t = time_fn(fn, keys, iters=50)
         print(f"{name}: {t * 1e3:.3f} ms")

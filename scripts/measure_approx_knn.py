@@ -85,6 +85,23 @@ def main():
             f"exact-vs-torch max {dt.max() * 1e3:.4f} mm"
         )
 
+    # end-to-end metric deltas (VERDICT r3 #3): the 799 queries are the
+    # template order joints(21) + verts(778) (ptEmb_head.py:885-891), so
+    # the FINAL block's per-point Euclidean deviation IS the MPJPE/MPVPE
+    # delta an eval run would see vs the exact config — comparable
+    # directly against the 1e-3 m parity budget (BASELINE.json)
+    final = coords["exact"][-1]
+    nj = 21
+    for tag in ("approx", "exact_k16"):
+        dv = np.linalg.norm(coords[tag][-1] - final, axis=-1)  # (B, 799)
+        mpjpe = dv[:, :nj].mean() * 1e3
+        mpvpe = dv[:, nj:].mean() * 1e3
+        print(
+            f"{tag}: end-to-end ΔMPJPE {mpjpe:.4f} mm, ΔMPVPE {mpvpe:.4f} mm "
+            f"(max joint {dv[:, :nj].max() * 1e3:.3f} mm, "
+            f"max vert {dv[:, nj:].max() * 1e3:.3f} mm)"
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -9,7 +9,7 @@ import torch
 from poem_v2_tpu.models.decoder import PtEmbedDecoder
 from poem_v2_tpu.utils.torch_convert import convert_decoder_block
 
-pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
+pytestmark = [pytest.mark.slow, pytest.mark.parity]  # torch-differential tier: pytest -m parity
 
 
 def fabricate_torch_block(prefix: str, d: int = 64) -> dict:

@@ -146,6 +146,27 @@ class TestWDS:
         for s in ds:
             assert 1 <= s["image"].shape[0] <= 3
 
+    def test_workers_pipeline_matches_single_thread(self, tmp_path):
+        """WORKERS>1 (ordered thread pool) must yield the SAME samples in
+        the SAME order as the single-threaded path for no-aug,
+        fixed-view streams (eval protocol)."""
+        shard = make_shard(str(tmp_path / "Test_mv_train-000000.tar"))
+        cfg0 = ds_cfg(shard, random_n_views=False)
+        ref = list(MultiviewWebDataset(cfg0, data_preset=DATA_PRESET))
+        cfgw = Config({**cfg0.to_dict(), "WORKERS": 4})
+        got = list(MultiviewWebDataset(cfgw, data_preset=DATA_PRESET))
+        assert len(got) == len(ref)
+        for a, b in zip(ref, got):
+            assert a["__key__"] == b["__key__"]
+            np.testing.assert_array_equal(a["image"], b["image"])
+            np.testing.assert_allclose(
+                a["target_cam_extr"], b["target_cam_extr"], atol=0)
+        # threaded run is deterministic across repeats (incl. view sampling)
+        cfgr = Config({**ds_cfg(shard, random_n_views=True).to_dict(), "WORKERS": 3})
+        r1 = [s["image"].shape for s in MultiviewWebDataset(cfgr, data_preset=DATA_PRESET)]
+        r2 = [s["image"].shape for s in MultiviewWebDataset(cfgr, data_preset=DATA_PRESET)]
+        assert r1 == r2
+
     def test_aug_keeps_projection_consistent(self, tmp_path):
         """After rotation aug, K' = affine_postrot@K and rotated 3D labels
         must still project onto the warped 2D joints."""

