@@ -18,7 +18,9 @@ import sys
 
 import pytest
 
-pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
+# ~30 min on a single-core host: its own opt-in tier (pyproject addopts
+# deselects `flagship` by default; run with `pytest -m flagship`)
+pytestmark = [pytest.mark.slow, pytest.mark.flagship]
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
