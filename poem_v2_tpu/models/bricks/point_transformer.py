@@ -50,14 +50,21 @@ class RawDense(nn.Module):
         return self.kernel.astype(self.dtype)
 
 
-def _fused_block_config(n_points: int, k: int):
+def _fused_block_config(n_points: int, k: int, d_model: int = 256):
     """(block_q, chunk_j) by cloud size, swept on v5e (B16, 799 queries,
     K=32): the one-hot gather matmul wants >=512 rows per chunk to
     amortize MXU pipeline fill — (128, 32) for the 799-point query cloud
     (6.18 vs 6.42 ms at the old (128, 8)) and (64, 16) for the 4096-point
     BPS cloud (14.5 vs 16.1 ms at the old (32, 8)). chunk_j must divide
-    the neighbour count, so it is clamped to the largest divisor of k."""
+    the neighbour count, so it is clamped to the largest divisor of k.
+
+    Wide tiers shrink the query tile: the kernel's live f32 attention
+    intermediates scale as K*block_q*d_model, and at D=1024 a 128-query
+    tile spills ~148 MB of vregs past the 128 MB scoped-VMEM budget
+    (huge-tier compile failure, round 4); a 32-query tile fits."""
     bq, cj = (128, 32) if n_points <= 1024 else (64, 16)
+    if d_model >= 1024:
+        bq = 32
     cj = min(cj, k)
     while k % cj:
         cj -= 1
@@ -117,7 +124,7 @@ class PtSelfAttnBlock(nn.Module):
             # exact KNN happens INSIDE the kernel (serial arg-min, ~4.3 ms
             # per instance): XLA's exact lax.top_k lowers to a full sort
             # (24.9 ms at these shapes) — measured, not worth it
-            bq, cj = _fused_block_config(xyz.shape[1], self.k)
+            bq, cj = _fused_block_config(xyz.shape[1], self.k, self.d_model)
             res = fused_knn_vector_attention(
                 q, xyz, xyz, x, w_ks.matrix(), w_vs.matrix(),
                 tuple(p.astype(self.dtype) for p in fc_delta),
@@ -149,6 +156,7 @@ class PtSelfAttnBlock(nn.Module):
                     q, xyz, w_ks(x_a), w_vs(x_a), a_xyz,
                     tuple(p.astype(self.dtype) for p in fc_delta),
                     tuple(p.astype(self.dtype) for p in fc_gamma),
+                    block_q=32 if self.d_model >= 1024 else 128,
                 )
                 return nn.Dense(self.d_points, dtype=self.dtype, name="fc2")(res) + pre
             ks, vs = w_ks(x), w_vs(x)
@@ -205,7 +213,7 @@ class PtCrossAttnBlock(nn.Module):
         if self.use_fused_knn and anchor_idx is None:
             from ...ops.pallas_knn_attn import fused_knn_vector_attention
 
-            bq, cj = _fused_block_config(xyz.shape[1], self.k)
+            bq, cj = _fused_block_config(xyz.shape[1], self.k, self.d_model)
             res = fused_knn_vector_attention(
                 q, query_xyz, xyz, x_full, w_ks.matrix(), w_vs.matrix(),
                 tuple(p.astype(self.dtype) for p in fc_delta),
@@ -230,6 +238,7 @@ class PtCrossAttnBlock(nn.Module):
                     q, query_xyz, w_ks(x_a), w_vs(x_a), a_xyz,
                     tuple(p.astype(self.dtype) for p in fc_delta),
                     tuple(p.astype(self.dtype) for p in fc_gamma),
+                    block_q=32 if self.d_model >= 1024 else 128,
                 )
                 return nn.Dense(self.d_points, dtype=self.dtype, name="fc2")(res) + pre
             local_xyz = jnp.broadcast_to(a_xyz[:, None], (B, M, A, 3))
