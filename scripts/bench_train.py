@@ -24,6 +24,9 @@ def main():
     p.add_argument("--no-remat", action="store_true")
     p.add_argument("--flash-train", action=argparse.BooleanOptionalAction,
                    default=True)
+    p.add_argument("--grad_clip_mode", type=str, default=None,
+                   choices=["per_param", "global", "off"],
+                   help="override TRAIN.GRAD_CLIP.MODE (A/B the clip cost)")
     args = p.parse_args()
 
     import jax
@@ -58,6 +61,10 @@ def main():
         cfg.BACKBONE.TYPE = args.backbone
         if args.backbone.lower().startswith("resnet"):
             cfg.HEAD.IN_CHANNELS = 256
+    if args.grad_clip_mode == "off":
+        cfg.TRAIN.GRAD_CLIP_ENABLED = False
+    elif args.grad_clip_mode:
+        cfg.TRAIN.GRAD_CLIP.MODE = args.grad_clip_mode
     model, aux = create_poem_model(cfg, dtype=dtype, remat=not args.no_remat,
                                    use_flash_train=args.flash_train)
 
