@@ -98,6 +98,7 @@ class PtSelfAttnBlock(nn.Module):
     approx_knn: bool = True  # TPU approx_max_k: ~4x faster top-k, recall ~0.95
     use_fused: bool = False  # Pallas fused attention core (eval path)
     use_fused_knn: bool = False  # Pallas fused KNN+gather+attention (eval)
+    use_fused_knn_train: bool = False  # fused fwd + XLA-from-idx backward (train)
     knn_bf16_dist: bool = False  # bf16 arg-min rounds in the fused kernel
     dtype: jnp.dtype = jnp.float32
 
@@ -118,20 +119,32 @@ class PtSelfAttnBlock(nn.Module):
         fc_delta = _mlp_params(self, "fc_delta", 3, self.d_model)
         fc_gamma = _mlp_params(self, "fc_gamma", self.d_model, self.d_model)
 
-        if self.use_fused_knn and anchor_idx is None:
-            from ...ops.pallas_knn_attn import fused_knn_vector_attention
-
+        if (self.use_fused_knn or self.use_fused_knn_train) and anchor_idx is None:
             # exact KNN happens INSIDE the kernel (serial arg-min, ~4.3 ms
             # per instance): XLA's exact lax.top_k lowers to a full sort
             # (24.9 ms at these shapes) — measured, not worth it
             bq, cj = _fused_block_config(xyz.shape[1], self.k, self.d_model)
-            res = fused_knn_vector_attention(
-                q, xyz, xyz, x, w_ks.matrix(), w_vs.matrix(),
-                tuple(p.astype(self.dtype) for p in fc_delta),
-                tuple(p.astype(self.dtype) for p in fc_gamma),
-                n_neighbor=self.k, block_q=bq, chunk_j=cj,
-                bf16_dist=self.knn_bf16_dist,
-            )
+            if self.use_fused_knn_train:
+                # custom-VJP wrapper: fused fwd, XLA-from-saved-idx bwd —
+                # train selects with the SAME exact packed-key rounds as eval
+                from ...ops.pallas_knn_attn import knn_vector_attention_trainable
+
+                res = knn_vector_attention_trainable(
+                    q, xyz, xyz, x, w_ks.matrix(), w_vs.matrix(),
+                    tuple(p.astype(self.dtype) for p in fc_delta),
+                    tuple(p.astype(self.dtype) for p in fc_gamma),
+                    self.k, bq, cj, False,
+                )
+            else:
+                from ...ops.pallas_knn_attn import fused_knn_vector_attention
+
+                res = fused_knn_vector_attention(
+                    q, xyz, xyz, x, w_ks.matrix(), w_vs.matrix(),
+                    tuple(p.astype(self.dtype) for p in fc_delta),
+                    tuple(p.astype(self.dtype) for p in fc_gamma),
+                    n_neighbor=self.k, block_q=bq, chunk_j=cj,
+                    bf16_dist=self.knn_bf16_dist,
+                )
             return nn.Dense(self.d_points, dtype=self.dtype, name="fc2")(res) + pre
 
         if anchor_idx is not None:
@@ -187,6 +200,7 @@ class PtCrossAttnBlock(nn.Module):
     approx_knn: bool = True
     use_fused: bool = False
     use_fused_knn: bool = False
+    use_fused_knn_train: bool = False
     knn_bf16_dist: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -210,17 +224,27 @@ class PtCrossAttnBlock(nn.Module):
         fc_delta = _mlp_params(self, "fc_delta", 3, self.d_model)
         fc_gamma = _mlp_params(self, "fc_gamma", self.d_model, self.d_model)
 
-        if self.use_fused_knn and anchor_idx is None:
-            from ...ops.pallas_knn_attn import fused_knn_vector_attention
-
+        if (self.use_fused_knn or self.use_fused_knn_train) and anchor_idx is None:
             bq, cj = _fused_block_config(xyz.shape[1], self.k, self.d_model)
-            res = fused_knn_vector_attention(
-                q, query_xyz, xyz, x_full, w_ks.matrix(), w_vs.matrix(),
-                tuple(p.astype(self.dtype) for p in fc_delta),
-                tuple(p.astype(self.dtype) for p in fc_gamma),
-                n_neighbor=self.k, block_q=bq, chunk_j=cj,
-                bf16_dist=self.knn_bf16_dist,
-            )
+            if self.use_fused_knn_train:
+                from ...ops.pallas_knn_attn import knn_vector_attention_trainable
+
+                res = knn_vector_attention_trainable(
+                    q, query_xyz, xyz, x_full, w_ks.matrix(), w_vs.matrix(),
+                    tuple(p.astype(self.dtype) for p in fc_delta),
+                    tuple(p.astype(self.dtype) for p in fc_gamma),
+                    self.k, bq, cj, False,
+                )
+            else:
+                from ...ops.pallas_knn_attn import fused_knn_vector_attention
+
+                res = fused_knn_vector_attention(
+                    q, query_xyz, xyz, x_full, w_ks.matrix(), w_vs.matrix(),
+                    tuple(p.astype(self.dtype) for p in fc_delta),
+                    tuple(p.astype(self.dtype) for p in fc_gamma),
+                    n_neighbor=self.k, block_q=bq, chunk_j=cj,
+                    bf16_dist=self.knn_bf16_dist,
+                )
             return nn.Dense(self.d_points, dtype=self.dtype, name="fc2")(res) + pre
 
         if anchor_idx is not None:

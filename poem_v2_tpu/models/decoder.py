@@ -49,6 +49,7 @@ class PointerLayer(nn.Module):
     approx_knn: bool = True
     use_fused: bool = False
     use_fused_knn: bool = False
+    use_fused_knn_train: bool = False
     knn_bf16_dist: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -74,6 +75,7 @@ class PointerLayer(nn.Module):
             approx_knn=self.approx_knn,
             use_fused=self.use_fused,
             use_fused_knn=self.use_fused_knn,
+            use_fused_knn_train=self.use_fused_knn_train,
             knn_bf16_dist=self.knn_bf16_dist,
             dtype=self.dtype,
             name="query_self_attn",
@@ -86,6 +88,7 @@ class PointerLayer(nn.Module):
             approx_knn=self.approx_knn,
             use_fused=self.use_fused,
             use_fused_knn=self.use_fused_knn,
+            use_fused_knn_train=self.use_fused_knn_train,
             knn_bf16_dist=self.knn_bf16_dist,
             dtype=self.dtype,
             name="query_cross_attn",
@@ -109,6 +112,7 @@ class PointMetroBlock(nn.Module):
     deterministic: bool = True
     approx_knn: bool = True
     use_fused_knn: bool = False
+    use_fused_knn_train: bool = False
     knn_bf16_dist: bool = False
     use_flash: bool = False
     use_flash_train: bool = False
@@ -149,6 +153,7 @@ class PointMetroBlock(nn.Module):
             init_block=self.init_block,
             approx_knn=self.approx_knn,
             use_fused_knn=self.use_fused_knn and self.deterministic,
+            use_fused_knn_train=self.use_fused_knn_train and not self.deterministic,
             knn_bf16_dist=self.knn_bf16_dist,
             use_fused=False,  # measured slower than the XLA fusion at POEM sizes
             dtype=self.dtype,
@@ -190,6 +195,7 @@ class PtEmbedDecoder(nn.Module):
     remat: bool = True
     approx_knn: bool = True
     use_fused_knn: bool = False
+    use_fused_knn_train: bool = False
     knn_bf16_dist: bool = False
     use_flash: bool = False
     use_flash_train: bool = False
@@ -248,6 +254,7 @@ class PtEmbedDecoder(nn.Module):
                 deterministic=deterministic,
                 approx_knn=self.approx_knn,
                 use_fused_knn=self.use_fused_knn,
+                use_fused_knn_train=self.use_fused_knn_train,
                 knn_bf16_dist=self.knn_bf16_dist,
                 use_flash=self.use_flash,
                 use_flash_train=self.use_flash_train,

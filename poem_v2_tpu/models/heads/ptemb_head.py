@@ -158,6 +158,7 @@ class POEMGeneralizedHead(nn.Module):
     anchor_xyz: Optional[np.ndarray] = None  # (32, 3)
     approx_knn: bool = True  # False = exact lax.top_k KNN (checkpoint parity)
     use_fused_knn: bool = False  # Pallas fused exact-KNN attention (TPU eval)
+    use_fused_knn_train: bool = False  # fused fwd + XLA-from-idx bwd (TPU train)
     knn_bf16_dist: bool = False  # bf16 arg-min rounds in the fused kernel
     use_fused_sampling: bool = False  # Pallas separable bilinear BPS sampler (TPU)
     mano_layer: Optional[object] = None  # ManoLayer for parametric output
@@ -359,6 +360,7 @@ class POEMGeneralizedHead(nn.Module):
             parametric_output=self.parametric_output,
             approx_knn=self.approx_knn,
             use_fused_knn=self.use_fused_knn,
+            use_fused_knn_train=self.use_fused_knn_train,
             knn_bf16_dist=self.knn_bf16_dist,
             use_flash=self.use_flash,
             use_flash_train=self.use_flash_train,

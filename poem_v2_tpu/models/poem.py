@@ -207,7 +207,8 @@ def _default_use_flash() -> bool:
 def create_poem_model(
     cfg: Config, dtype=jnp.float32, use_flash: bool = None, remat: bool = True,
     use_flash_train: bool = True, exact_knn: bool = False,
-    knn_bf16_dist: bool = False, fused_knn: bool = None
+    knn_bf16_dist: bool = False, fused_knn: bool = None,
+    fused_knn_train: bool = None,
 ) -> Tuple[POEMNet, Dict[str, Any]]:
     """Build a POEMNet + auxiliary constants from a reference-schema config.
 
@@ -290,6 +291,14 @@ def create_poem_model(
         # fused_knn=False + exact_knn=False selects the approx_max_k XLA
         # path for the `--approx_knn` eval bench (docs/performance.md)
         use_fused_knn=use_flash if fused_knn is None else fused_knn,
+        # training-path fused exact KNN (custom VJP): defaults to on
+        # whenever the eval fused kernels and the training Pallas kernels
+        # are both on — train then selects neighbours EXACTLY like eval
+        # (the reference uses exact pytorch3d KNN in both modes)
+        use_fused_knn_train=(
+            use_flash_train and (use_flash if fused_knn is None else fused_knn)
+            if fused_knn_train is None else fused_knn_train
+        ),
         knn_bf16_dist=knn_bf16_dist,
         use_fused_sampling=use_flash,
         mano_layer=mano_layer if parametric else None,

@@ -54,12 +54,12 @@ def _kernel(
     w1_ref, b1_ref, w2_ref, b2_ref,   # fc_delta
     g0_ref, c0_ref, g1_ref, c1_ref,   # fc_gamma
     out_ref,      # (1, BQ, D)
-    oh_ref,       # scratch (CJ * BQ, N) one-hot chunk
-    *,
+    *rest,        # (idx_ref (1, BQ, K) when return_idx,) oh_ref scratch
     n_neighbor: int,
     chunk_j: int,
     dist_dtype=jnp.float32,
     packed_keys: bool = False,
+    return_idx: bool = False,
 ):
     """Flash-style over the K axis: each CJ-neighbour chunk is gathered,
     projected and scored, then folded into online per-channel softmax
@@ -71,7 +71,13 @@ def _kernel(
     ~61 us/program ≈ the whole measured kernel time at POEM sizes). The
     selection can then differ from exact f32 KNN only for neighbours
     whose squared distances agree within bf16 eps (measured end-to-end
-    deviation: see docs/performance.md)."""
+    deviation: see docs/performance.md).
+
+    ``return_idx=True`` additionally writes the selected neighbour
+    indices (BQ, K) int32 — the residual the trainable wrapper
+    (:func:`knn_vector_attention_trainable`) saves so its backward can
+    re-gather without re-running selection."""
+    idx_ref, oh_ref = rest if return_idx else (None, rest[0])
     K = n_neighbor
     CJ = chunk_j
     BQ = q_ref.shape[1]
@@ -186,26 +192,44 @@ def _kernel(
         keys = (d2i & ~0xFFF) | (col & 0xFFF)
         int_max = jnp.int32(0x7FFFFFFF)
 
+        kcol = (
+            jax.lax.broadcasted_iota(jnp.int32, (BQ, K), 1) if return_idx else None
+        )
+
         def chunk_body_keys(c, carry):
-            thr, m_acc, s_acc, o_acc = carry
+            # idx_acc is present in the carry ONLY when return_idx — the
+            # plain-eval jaxpr stays byte-identical to the idx-free form
+            # (same Mosaic payload, same persistent-compile-cache key)
+            thr, m_acc, s_acc, o_acc = carry[0], *carry[-3:]
+            idx_acc = carry[1] if return_idx else None
             for jj in range(CJ):
                 thr = jnp.min(
                     jnp.where(keys > thr, keys, int_max), axis=1, keepdims=True
                 )  # (BQ, 1)
                 idx_j = thr & 0xFFF
+                if return_idx:
+                    idx_acc = jnp.where(kcol == c * CJ + jj, idx_j, idx_acc)
                 oh_ref[pl.ds(jj * BQ, BQ)] = (col == idx_j).astype(oh_ref.dtype)
             m_acc, s_acc, o_acc = fold_chunk(m_acc, s_acc, o_acc)
+            if return_idx:
+                return thr, idx_acc, m_acc, s_acc, o_acc
             return thr, m_acc, s_acc, o_acc
 
-        init = (jnp.full((BQ, 1), jnp.int32(-(1 << 31))),) + acc0
-        _, m_acc, s_acc, o_acc = jax.lax.fori_loop(
-            0, K // CJ, chunk_body_keys, init
-        )
+        init = (jnp.full((BQ, 1), jnp.int32(-(1 << 31))),)
+        if return_idx:
+            init += (jnp.zeros((BQ, K), jnp.int32),)
+        fin = jax.lax.fori_loop(0, K // CJ, chunk_body_keys, init + acc0)
+        m_acc, s_acc, o_acc = fin[-3:]
         out_ref[0] = (o_acc / s_acc).astype(out_ref.dtype)
+        if return_idx:
+            idx_ref[0] = fin[1]
         return
 
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (BQ, K), 1) if return_idx else None
+
     def chunk_body(c, carry):
-        d2, m_acc, s_acc, o_acc = carry
+        d2, m_acc, s_acc, o_acc = carry[0], *carry[-3:]
+        idx_acc = carry[1] if return_idx else None
         # exact next-CJ nearest: rounds of (argmin, one-hot, mask) —
         # lax.argmin is a single fused reduction with lowest-index tie
         # break, replacing the old min + where-col-min pass pair. Mosaic's
@@ -226,16 +250,27 @@ def _kernel(
                 d2 = jnp.where(
                     hit, jnp.inf, d2.astype(jnp.float32)
                 ).astype(jnp.bfloat16)
+            if return_idx:
+                idx_acc = jnp.where(
+                    kcol == c * CJ + jj, idx_j[:, None], idx_acc
+                )
         m_acc, s_acc, o_acc = fold_chunk(m_acc, s_acc, o_acc)
+        if return_idx:
+            return d2, idx_acc, m_acc, s_acc, o_acc
         return d2, m_acc, s_acc, o_acc
 
     # fori_loop (not an unrolled Python loop) so the compiler reuses one
     # d2/accumulator buffer set across chunks instead of keeping K live
     # (BQ, N) versions of the masked distance matrix
-    init = (d2,) + acc0
-    _, m_acc, s_acc, o_acc = jax.lax.fori_loop(0, K // CJ, chunk_body, init)
+    init = (d2,)
+    if return_idx:
+        init += (jnp.zeros((BQ, K), jnp.int32),)
+    fin = jax.lax.fori_loop(0, K // CJ, chunk_body, init + acc0)
+    m_acc, s_acc, o_acc = fin[-3:]
 
     out_ref[0] = (o_acc / s_acc).astype(out_ref.dtype)
+    if return_idx:
+        idx_ref[0] = fin[1]
 
 
 def _kernel_from_idx(
@@ -769,6 +804,7 @@ def fused_anchor_vector_attention(
     jax.jit,
     static_argnames=(
         "n_neighbor", "block_q", "chunk_j", "interpret", "bf16_dist", "packed_keys",
+        "return_idx",
     ),
 )
 def fused_knn_vector_attention(
@@ -786,6 +822,7 @@ def fused_knn_vector_attention(
     neighbor_idx: jnp.ndarray = None,  # (B, M, K) int32 precomputed exact KNN
     bf16_dist: bool = False,  # bf16 arg-min rounds (negative result; kept for bench)
     packed_keys: bool = True,  # read-only threshold-scan selection (see _kernel)
+    return_idx: bool = False,  # also return the selected (B, M, K) indices
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused pointer-stage attention; returns (B, M, D) like
@@ -793,8 +830,11 @@ def fused_knn_vector_attention(
 
     With ``neighbor_idx`` (from XLA ``lax.top_k``, 1.55 ms at POEM sizes
     vs ~4.3 ms for the in-kernel serial arg-min) the kernel skips the
-    distance matmul and arg-min rounds entirely.
+    distance matmul and arg-min rounds entirely. ``return_idx=True``
+    returns ``(out, idx)`` where idx are the in-kernel selected exact-KNN
+    indices in ascending-distance order (lowest-index tie break).
     """
+    assert not (return_idx and neighbor_idx is not None)
     B, M, D = q.shape
     N = pt_xyz.shape[1]
     K = n_neighbor
@@ -834,7 +874,8 @@ def fused_knn_vector_attention(
         kernel = functools.partial(
             _kernel, n_neighbor=K, chunk_j=chunk_j,
             dist_dtype=jnp.bfloat16 if bf16_dist else jnp.float32,
-            packed_keys=packed_keys and not bf16_dist and Np <= (1 << 12))
+            packed_keys=packed_keys and not bf16_dist and Np <= (1 << 12),
+            return_idx=return_idx)
     in_specs += [
         pl.BlockSpec((1, 3, Np), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, Np, D), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -842,12 +883,19 @@ def fused_knn_vector_attention(
     inputs += [jnp.swapaxes(pt_xyz.astype(jnp.float32), 1, 2), x_full,
                wk, wv, w1, b1, w2, b2, g0, c0, g1, c1]
 
+    out_specs = pl.BlockSpec((1, block_q, D), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, Mp, D), q.dtype)
+    if return_idx:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, block_q, K), lambda b, m: (b, m, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((B, Mp, K), jnp.int32))
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, D), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Mp, D), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((chunk_j * block_q, Np), q.dtype),
         ],
@@ -857,4 +905,88 @@ def fused_knn_vector_attention(
         ),
         interpret=interpret,
     )(*inputs)
+    if return_idx:
+        return out[0][:, :M], out[1][:, :M]
     return out[:, :M]
+
+
+# ---------------------------------------------------------------------------
+# Trainable fused KNN attention (custom VJP)
+# ---------------------------------------------------------------------------
+
+def _attention_from_idx(q, query_xyz, pt_xyz, x_full, wk, wv, fc_delta,
+                        fc_gamma, idx):
+    """Pure-XLA vector attention gathered by precomputed indices.
+
+    The differentiable recompute behind
+    :func:`knn_vector_attention_trainable`'s backward: identical math to
+    the fused kernel (and to the unfused training path in
+    models/bricks/point_transformer.py) but with selection replaced by
+    the saved ``idx`` gather, so autodiff never replays the (B, M, N)
+    distance matmul or the top-k.
+    """
+    from .pallas_vector_attn import vector_attention_reference
+    from .points import index_points
+
+    x_g = index_points(x_full, idx)          # (B, M, K, D)
+    k_g = x_g @ wk
+    v_g = x_g @ wv
+    nn_xyz = index_points(pt_xyz, idx)       # (B, M, K, 3) f32
+    delta = query_xyz[:, :, None, :] - nn_xyz
+    return vector_attention_reference(
+        q, k_g, v_g, delta.astype(q.dtype), fc_delta, fc_gamma
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def knn_vector_attention_trainable(
+    q: jnp.ndarray,          # (B, M, D) w_qs(query_feat)
+    query_xyz: jnp.ndarray,  # (B, M, 3)
+    pt_xyz: jnp.ndarray,     # (B, N, 3)
+    x_full: jnp.ndarray,     # (B, N, D) fc1 activations of the cloud
+    wk: jnp.ndarray,         # (D, D)
+    wv: jnp.ndarray,         # (D, D)
+    fc_delta: Tuple[jnp.ndarray, ...],
+    fc_gamma: Tuple[jnp.ndarray, ...],
+    n_neighbor: int = 32,
+    block_q: int = 128,
+    chunk_j: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Training-path fused exact-KNN vector attention.
+
+    Forward: the fused Pallas kernel (exact packed-key selection — the
+    same op the eval path runs, so train and eval select IDENTICAL
+    neighbours, like the reference's pytorch3d ``knn_points`` does in
+    both modes; the pre-round-4 training path used ``approx_max_k``,
+    recall ~0.95). Backward: XLA recompute from the kernel-saved
+    indices — gradients are exactly those of the unfused training path
+    fed with exact selection, with no (B, M, N) distance replay.
+    """
+    return fused_knn_vector_attention(
+        q, query_xyz, pt_xyz, x_full, wk, wv, fc_delta, fc_gamma,
+        n_neighbor=n_neighbor, block_q=block_q, chunk_j=chunk_j,
+        interpret=interpret,
+    )
+
+
+def _trainable_fwd(q, query_xyz, pt_xyz, x_full, wk, wv, fc_delta, fc_gamma,
+                   n_neighbor, block_q, chunk_j, interpret):
+    out, idx = fused_knn_vector_attention(
+        q, query_xyz, pt_xyz, x_full, wk, wv, fc_delta, fc_gamma,
+        n_neighbor=n_neighbor, block_q=block_q, chunk_j=chunk_j,
+        return_idx=True, interpret=interpret,
+    )
+    return out, (q, query_xyz, pt_xyz, x_full, wk, wv, fc_delta, fc_gamma, idx)
+
+
+def _trainable_bwd(n_neighbor, block_q, chunk_j, interpret, residuals, ct):
+    q, query_xyz, pt_xyz, x_full, wk, wv, fc_delta, fc_gamma, idx = residuals
+    _, vjp = jax.vjp(
+        lambda *args: _attention_from_idx(*args, idx),
+        q, query_xyz, pt_xyz, x_full, wk, wv, fc_delta, fc_gamma,
+    )
+    return vjp(ct.astype(q.dtype))
+
+
+knn_vector_attention_trainable.defvjp(_trainable_fwd, _trainable_bwd)

@@ -27,6 +27,10 @@ def main():
     p.add_argument("--grad_clip_mode", type=str, default=None,
                    choices=["per_param", "global", "off"],
                    help="override TRAIN.GRAD_CLIP.MODE (A/B the clip cost)")
+    p.add_argument("--fused-knn-train", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="A/B the fused-forward exact-KNN training path "
+                        "(default: on whenever flash_train is on, on TPU)")
     args = p.parse_args()
 
     import jax
@@ -66,7 +70,8 @@ def main():
     elif args.grad_clip_mode:
         cfg.TRAIN.GRAD_CLIP.MODE = args.grad_clip_mode
     model, aux = create_poem_model(cfg, dtype=dtype, remat=not args.no_remat,
-                                   use_flash_train=args.flash_train)
+                                   use_flash_train=args.flash_train,
+                                   fused_knn_train=args.fused_knn_train)
 
     mesh = create_mesh()
     trainer = Trainer(model, aux, train_cfg=cfg.TRAIN, loss_cfg=cfg.LOSS, mesh=mesh,

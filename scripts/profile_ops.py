@@ -125,6 +125,49 @@ def build_program(name: str, batch: int = 8):
         params = variables["params"]
         return lambda: f(params)
 
+    if name == "train":
+        # full train step (fwd + bwd + Adam + per-param clip) on the release
+        # medium recipe — the same program scripts/bench_train.py times
+        from poem_v2_tpu.data import SyntheticMultiviewDataset
+        from poem_v2_tpu.models.poem import create_poem_model
+        from poem_v2_tpu.parallel.mesh import create_mesh, shard_batch
+        from poem_v2_tpu.training.trainer import Trainer
+        from poem_v2_tpu.utils.config import Config
+
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        full_cfg = Config.from_yaml(os.path.join(here, "configs", "release",
+                                                 "train_medium.yaml"))
+        cfg = full_cfg.MODEL
+        cfg.TRAIN = full_cfg.TRAIN
+        cfg.DATA_PRESET = full_cfg.DATA_PRESET
+        model, aux = create_poem_model(cfg, dtype=jnp.bfloat16, remat=True,
+                                       use_flash_train=True)
+        mesh = create_mesh()
+        trainer = Trainer(model, aux, train_cfg=cfg.TRAIN, loss_cfg=cfg.LOSS,
+                          mesh=mesh, steps_per_epoch=1000)
+        ds = SyntheticMultiviewDataset(batch_size=batch, view_max=8,
+                                       image_size=256, seed=0,
+                                       random_views=False, view_range=(8, 8))
+        b = ds.sample_batch()
+        shapes = jax.eval_shape(trainer.init_state,
+                                {k: jnp.asarray(v) for k, v in b.items()})
+        rs = np.random.RandomState(0)
+
+        def fab(sd):
+            if str(sd.dtype).startswith(("float", "bfloat")):
+                return jnp.asarray(rs.normal(0, 0.02, sd.shape).astype(sd.dtype))
+            return jnp.zeros(sd.shape, sd.dtype)
+
+        state_box = [jax.tree_util.tree_map(fab, shapes)]
+        dev_batch = shard_batch(trainer._to_device_batch(b), mesh)
+
+        def step():
+            state_box[0], metrics = trainer._train_step(state_box[0], dev_batch)
+            # 1-d so the harness's [:1] fetch tap works on it
+            return jnp.reshape(metrics["loss"], (1,))
+
+        return step
+
     raise ValueError(name)
 
 
@@ -138,6 +181,14 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    # persistent compile cache (train-step compiles take minutes through
+    # the tunneled TPU; bench_train.py shares the same cache dir)
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     fn = build_program(args.prog, args.batch)
     # compile + warm

@@ -522,3 +522,176 @@ def test_scramble_uniform_batch_is_pure_reshape():
 
     fast = a_rows.reshape(B, NS, V, C)
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(ref))
+
+
+def test_fused_knn_return_idx_semantics():
+    """return_idx indices gather the K nearest points: their distances
+    match exact top_k distances (packed keys quantize tie-breaks to
+    ~2^-11 relative, so compare distances, not raw index identity)."""
+    from poem_v2_tpu.ops.pallas_knn_attn import fused_knn_vector_attention
+    from poem_v2_tpu.ops.points import square_distance
+
+    rs = np.random.RandomState(3)
+    B, M, N, D, K = 2, 67, 200, 64, 8
+    mk = lambda *s: jnp.asarray(rs.randn(*s).astype(np.float32))
+    q, qxyz, ptxyz, x_full = mk(B, M, D), mk(B, M, 3), mk(B, N, 3), mk(B, N, D)
+    wk, wv = mk(D, D) / 8, mk(D, D) / 8
+    fcd = (mk(3, D), mk(D), mk(D, D) / 8, mk(D))
+    fcg = (mk(D, D) / 8, mk(D), mk(D, D) / 8, mk(D))
+
+    for packed in (True, False):
+        out, idx = fused_knn_vector_attention(
+            q, qxyz, ptxyz, x_full, wk, wv, fcd, fcg,
+            n_neighbor=K, block_q=16, chunk_j=4, interpret=True,
+            packed_keys=packed, return_idx=True,
+        )
+        assert idx.shape == (B, M, K) and idx.dtype == jnp.int32
+        d2 = square_distance(qxyz, ptxyz)  # (B, M, N)
+        want = -jax.lax.top_k(-d2, K)[0]
+        got = jnp.take_along_axis(d2, idx, axis=-1)
+        # ascending selection order up to the packed-key tie quantization
+        # (the low 12 mantissa bits hold the column: true distances within
+        # ~2^-11 relative may come back swapped)
+        g = np.asarray(got)
+        assert np.all(np.diff(g, axis=-1) >= -2e-3 * g[..., 1:] - 1e-6)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(got)), np.asarray(want), rtol=2e-3, atol=1e-5
+        )
+        # the plain call is unchanged by the idx plumbing
+        out_plain = fused_knn_vector_attention(
+            q, qxyz, ptxyz, x_full, wk, wv, fcd, fcg,
+            n_neighbor=K, block_q=16, chunk_j=4, interpret=True,
+            packed_keys=packed,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_plain), atol=1e-6)
+
+
+def test_knn_vector_attention_trainable_value_and_grads(monkeypatch):
+    """Trainable wrapper: fused forward value == XLA-from-idx reference;
+    gradients == autodiff of the XLA path at the kernel-saved indices
+    (for every input: q, xyzs, cloud features, projections, both MLPs)."""
+    import poem_v2_tpu.ops.pallas_knn_attn as pk
+
+    orig = pk.fused_knn_vector_attention
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pk, "fused_knn_vector_attention", interp)
+
+    with jax.default_matmul_precision("highest"):
+        rs = np.random.RandomState(11)
+        B, M, N, D, K = 2, 35, 96, 32, 8
+        mk = lambda *s: jnp.asarray(rs.randn(*s).astype(np.float32))
+        q, qxyz, ptxyz, x_full = mk(B, M, D), mk(B, M, 3), mk(B, N, 3), mk(B, N, D)
+        wk, wv = mk(D, D) / 8, mk(D, D) / 8
+        fcd = (mk(3, D), mk(D), mk(D, D) / 8, mk(D))
+        fcg = (mk(D, D) / 8, mk(D), mk(D, D) / 8, mk(D))
+        ct = mk(B, M, D)  # fixed cotangent
+
+        _, idx = orig(
+            q, qxyz, ptxyz, x_full, wk, wv, fcd, fcg,
+            n_neighbor=K, block_q=16, chunk_j=4, return_idx=True,
+            interpret=True,
+        )
+
+        def loss_trainable(*args):
+            out = pk.knn_vector_attention_trainable(*args, K, 16, 4, True)
+            return jnp.sum(out * ct)
+
+        def loss_ref(*args):
+            out = pk._attention_from_idx(*args, idx)
+            return jnp.sum(out * ct)
+
+        args = (q, qxyz, ptxyz, x_full, wk, wv, fcd, fcg)
+        val_t, grads_t = jax.value_and_grad(loss_trainable, argnums=range(8))(*args)
+        val_r, grads_r = jax.value_and_grad(loss_ref, argnums=range(8))(*args)
+
+        np.testing.assert_allclose(float(val_t), float(val_r), rtol=1e-4)
+        flat_t = jax.tree_util.tree_leaves(grads_t)
+        flat_r = jax.tree_util.tree_leaves(grads_r)
+        assert len(flat_t) == len(flat_r) == 14  # 6 arrays + 2 MLP 4-tuples
+        for gt, gr in zip(flat_t, flat_r):
+            np.testing.assert_allclose(
+                np.asarray(gt), np.asarray(gr), rtol=1e-4, atol=1e-5
+            )
+
+
+def test_pt_self_block_fused_knn_train_matches_xla_grads(monkeypatch):
+    """PtSelfAttnBlock(use_fused_knn_train) value+grads == the unfused
+    exact-selection XLA block (approx_knn=False)."""
+    import poem_v2_tpu.ops.pallas_knn_attn as pk
+    from poem_v2_tpu.models.bricks.point_transformer import PtSelfAttnBlock
+
+    orig = pk.fused_knn_vector_attention
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pk, "fused_knn_vector_attention", interp)
+
+    with jax.default_matmul_precision("highest"):
+        rs = np.random.RandomState(7)
+        B, N, D, K = 2, 96, 32, 4
+        xyz = jnp.asarray(rs.randn(B, N, 3).astype(np.float32))
+        feats = jnp.asarray(rs.randn(B, N, D).astype(np.float32))
+
+        blk_train = PtSelfAttnBlock(
+            d_points=D, d_model=D, k=K, use_fused_knn_train=True)
+        blk_xla = PtSelfAttnBlock(d_points=D, d_model=D, k=K, approx_knn=False)
+        variables = blk_xla.init(jax.random.PRNGKey(0), xyz, feats)
+
+        def loss(fn, v):
+            return jnp.sum(fn.apply(v, xyz, feats) ** 2)
+
+        val_t, g_t = jax.value_and_grad(lambda v: loss(blk_train, v))(variables)
+        val_r, g_r = jax.value_and_grad(lambda v: loss(blk_xla, v))(variables)
+        np.testing.assert_allclose(float(val_t), float(val_r), rtol=5e-4)
+        for gt, gr in zip(jax.tree_util.tree_leaves(g_t),
+                          jax.tree_util.tree_leaves(g_r)):
+            np.testing.assert_allclose(
+                np.asarray(gt), np.asarray(gr), rtol=2e-3, atol=2e-4
+            )
+
+
+def test_pt_blocks_fused_knn_train_matches_xla_grads(monkeypatch):
+    """PtCrossAttnBlock(use_fused_knn_train) value+grads == the unfused
+    exact-selection XLA block (approx_knn=False) on a tie-free cloud."""
+    import poem_v2_tpu.ops.pallas_knn_attn as pk
+    from poem_v2_tpu.models.bricks.point_transformer import PtCrossAttnBlock
+
+    orig = pk.fused_knn_vector_attention
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pk, "fused_knn_vector_attention", interp)
+
+    with jax.default_matmul_precision("highest"):
+        rs = np.random.RandomState(5)
+        B, M, N, D, K = 2, 35, 96, 32, 4
+        xyz = jnp.asarray(rs.randn(B, N, 3).astype(np.float32))
+        feats = jnp.asarray(rs.randn(B, N, D).astype(np.float32))
+        qxyz = jnp.asarray(rs.randn(B, M, 3).astype(np.float32))
+        qfeat = jnp.asarray(rs.randn(B, M, D).astype(np.float32))
+
+        blk_train = PtCrossAttnBlock(
+            d_points=D, d_model=D, k=K, use_fused_knn_train=True)
+        blk_xla = PtCrossAttnBlock(d_points=D, d_model=D, k=K, approx_knn=False)
+        rng = jax.random.PRNGKey(0)
+        variables = blk_xla.init(rng, xyz, feats, qxyz, qfeat)
+
+        def loss(fn, v):
+            return jnp.sum(fn.apply(v, xyz, feats, qxyz, qfeat) ** 2)
+
+        val_t, g_t = jax.value_and_grad(lambda v: loss(blk_train, v))(variables)
+        val_r, g_r = jax.value_and_grad(lambda v: loss(blk_xla, v))(variables)
+        np.testing.assert_allclose(float(val_t), float(val_r), rtol=5e-4)
+        for gt, gr in zip(jax.tree_util.tree_leaves(g_t),
+                          jax.tree_util.tree_leaves(g_r)):
+            np.testing.assert_allclose(
+                np.asarray(gt), np.asarray(gr), rtol=2e-3, atol=2e-4
+            )
