@@ -915,7 +915,7 @@ def fused_knn_vector_attention(
 # ---------------------------------------------------------------------------
 
 def _attention_from_idx(q, query_xyz, pt_xyz, x_full, wk, wv, fc_delta,
-                        fc_gamma, idx):
+                        fc_gamma, idx, interpret=False):
     """Pure-XLA vector attention gathered by precomputed indices.
 
     The differentiable recompute behind
@@ -923,12 +923,15 @@ def _attention_from_idx(q, query_xyz, pt_xyz, x_full, wk, wv, fc_delta,
     the fused kernel (and to the unfused training path in
     models/bricks/point_transformer.py) but with selection replaced by
     the saved ``idx`` gather, so autodiff never replays the (B, M, N)
-    distance matmul or the top-k.
+    distance matmul or the top-k. The feature gather's backward is the
+    MXU one-hot-matmul scatter (:mod:`.pallas_scatter`), not XLA's
+    serial scatter-add.
     """
+    from .pallas_scatter import index_points_mxu
     from .pallas_vector_attn import vector_attention_reference
     from .points import index_points
 
-    x_g = index_points(x_full, idx)          # (B, M, K, D)
+    x_g = index_points_mxu(x_full, idx, interpret)  # (B, M, K, D)
     k_g = x_g @ wk
     v_g = x_g @ wv
     nn_xyz = index_points(pt_xyz, idx)       # (B, M, K, 3) f32
@@ -983,7 +986,7 @@ def _trainable_fwd(q, query_xyz, pt_xyz, x_full, wk, wv, fc_delta, fc_gamma,
 def _trainable_bwd(n_neighbor, block_q, chunk_j, interpret, residuals, ct):
     q, query_xyz, pt_xyz, x_full, wk, wv, fc_delta, fc_gamma, idx = residuals
     _, vjp = jax.vjp(
-        lambda *args: _attention_from_idx(*args, idx),
+        lambda *args: _attention_from_idx(*args, idx, interpret),
         q, query_xyz, pt_xyz, x_full, wk, wv, fc_delta, fc_gamma,
     )
     return vjp(ct.astype(q.dtype))

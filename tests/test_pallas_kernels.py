@@ -601,7 +601,7 @@ def test_knn_vector_attention_trainable_value_and_grads(monkeypatch):
             return jnp.sum(out * ct)
 
         def loss_ref(*args):
-            out = pk._attention_from_idx(*args, idx)
+            out = pk._attention_from_idx(*args, idx, True)
             return jnp.sum(out * ct)
 
         args = (q, qxyz, ptxyz, x_full, wk, wv, fcd, fcg)
@@ -695,3 +695,49 @@ def test_pt_blocks_fused_knn_train_matches_xla_grads(monkeypatch):
             np.testing.assert_allclose(
                 np.asarray(gt), np.asarray(gr), rtol=2e-3, atol=2e-4
             )
+
+
+def test_scatter_add_rows_matches_xla_scatter():
+    """MXU one-hot-matmul scatter == XLA scatter-add (f32 exact: the
+    one-hot is exact and each output row sums ≤ M*K float adds)."""
+    from poem_v2_tpu.ops.pallas_scatter import scatter_add_rows
+
+    rs = np.random.RandomState(0)
+    B, M, K, D, N = 2, 45, 8, 128, 200  # M not a chunk multiple; N not lane-aligned
+    grads = jnp.asarray(rs.randn(B, M, K, D).astype(np.float32))
+    idx = jnp.asarray(rs.randint(0, N, size=(B, M, K)).astype(np.int32))
+
+    got = scatter_add_rows(grads, idx, N, chunk_m=16, interpret=True)
+    want = jnp.zeros((B, N, D)).at[
+        jnp.arange(B)[:, None], idx.reshape(B, -1)
+    ].add(grads.reshape(B, M * K, D))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # bf16 grads: kernel accumulates in f32 (at least as accurate as XLA)
+    got16 = scatter_add_rows(grads.astype(jnp.bfloat16), idx, N,
+                             chunk_m=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got16), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_index_points_mxu_grads_match_xla_gather():
+    """index_points_mxu forward == index_points; its custom backward
+    (MXU scatter) == autodiff of the plain XLA gather."""
+    from poem_v2_tpu.ops.pallas_scatter import index_points_mxu
+    from poem_v2_tpu.ops.points import index_points
+
+    rs = np.random.RandomState(1)
+    B, N, D, M, K = 2, 96, 128, 35, 8
+    pts = jnp.asarray(rs.randn(B, N, D).astype(np.float32))
+    idx = jnp.asarray(rs.randint(0, N, size=(B, M, K)).astype(np.int32))
+    ct = jnp.asarray(rs.randn(B, M, K, D).astype(np.float32))
+
+    np.testing.assert_array_equal(
+        np.asarray(index_points_mxu(pts, idx, True)),
+        np.asarray(index_points(pts, idx)))
+
+    g_mxu = jax.grad(lambda p: jnp.sum(index_points_mxu(p, idx, True) * ct))(pts)
+    g_xla = jax.grad(lambda p: jnp.sum(index_points(p, idx) * ct))(pts)
+    np.testing.assert_allclose(np.asarray(g_mxu), np.asarray(g_xla),
+                               rtol=1e-5, atol=1e-5)
