@@ -23,12 +23,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _scatter_kernel(idx_ref, g_ref, out_ref, *, chunk_m: int, k: int,
-                    n_pad: int):
-    """One (b, m-chunk) program: out[b] += onehot(idx_chunk)ᵀ @ g_chunk.
+def _scatter_kernel(idx_ref, g_ref, out_ref, *, n_pad: int):
+    """One (b, row-chunk) program: out[b] += onehot(idx_chunk)ᵀ @ g_chunk.
 
     The out block is indexed by b only, so it stays resident in VMEM
-    while the m-chunk grid dimension (innermost) accumulates into it.
+    while the row-chunk grid dimension (innermost) accumulates into it.
+    The caller flattens (M, K) → rows in XLA — Mosaic cannot shape-cast
+    a (CM, K) tile into (CM*K, 1) inside the kernel (measured: the
+    in-kernel reshape fails infer-vector-layout on v5e).
     """
     c = pl.program_id(1)
 
@@ -36,10 +38,9 @@ def _scatter_kernel(idx_ref, g_ref, out_ref, *, chunk_m: int, k: int,
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    rows = chunk_m * k
-    idx = idx_ref[0].reshape(rows, 1)           # (CM*K, 1) int32
-    g = g_ref[0].reshape(rows, g_ref.shape[-1])  # (CM*K, D)
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
+    idx = idx_ref[0]                             # (rows, 1) int32
+    g = g_ref[0]                                 # (rows, D)
+    col = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n_pad), 1)
     oh = (col == idx).astype(g.dtype)            # exact 0/1 in any float dtype
     # ohᵀ @ g: contract the row axis; f32 accumulation on the MXU
     out_ref[0] += jax.lax.dot_general(
@@ -79,18 +80,26 @@ def scatter_add_rows(
         idx = jnp.pad(idx, ((0, 0), (0, mp), (0, 0)))  # pad rows carry 0-grads
     n_pad = max(-n_rows % 128 + n_rows, 128)
     grid = (B, (M + mp) // chunk_m)
+    # Flatten (M, K) → rows HERE (XLA relayout) — in-kernel shape casts
+    # across tiled dims don't lower on Mosaic (see _scatter_kernel).
+    chunk_rows = chunk_m * K
+    grads = grads.reshape(B, (M + mp) * K, D)
+    idx = idx.reshape(B, (M + mp) * K, 1)
     out = pl.pallas_call(
-        functools.partial(_scatter_kernel, chunk_m=chunk_m, k=K, n_pad=n_pad),
+        functools.partial(_scatter_kernel, n_pad=n_pad),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, chunk_m, K), lambda b, c: (b, c, 0),
+            pl.BlockSpec((1, chunk_rows, 1), lambda b, c: (b, c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk_m, K, D), lambda b, c: (b, c, 0, 0),
+            pl.BlockSpec((1, chunk_rows, D), lambda b, c: (b, c, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, n_pad, D), lambda b, c: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_pad, D), jnp.float32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(idx, grads)
     return out[:, :n_rows]
