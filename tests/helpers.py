@@ -1,8 +1,39 @@
 """Shared test fixtures: tiny model configs + synthetic batches."""
 
+import sys
+
 import jax.numpy as jnp
 
 from poem_v2_tpu.utils.config import Config
+
+# Top-level namespaces the reference-import fixtures are allowed to stub and
+# therefore to evict on teardown.  Everything else in sys.modules — above all
+# torch.* and jax.* — must survive a fixture untouched: evicting lazily
+# imported torch/jax submodules forces a re-import in the next parity file
+# which re-runs C-level registrations (TORCH_LIBRARY c10d_functional, jax
+# pallas config options) and errors the whole tier when run in one process.
+_STUB_NAMESPACES = (
+    "lib", "manotorch", "pytorch3d", "refcmr", "torch_scatter",
+    "torchvision", "imageio",
+)
+
+
+def _fixture_owned(name):
+    if name.startswith("ref_"):
+        return True
+    return any(name == p or name.startswith(p + ".") for p in _STUB_NAMESPACES)
+
+
+def snapshot_stub_modules():
+    """Snapshot only the sys.modules entries a reference fixture may touch."""
+    return {k: v for k, v in sys.modules.items() if _fixture_owned(k)}
+
+
+def restore_stub_modules(saved):
+    """Evict fixture-owned modules and restore the pre-fixture snapshot."""
+    for k in [k for k in sys.modules if _fixture_owned(k)]:
+        del sys.modules[k]
+    sys.modules.update(saved)
 
 TINY_MODEL_CFG = Config(
     {

@@ -217,7 +217,9 @@ class TestHandLoss:
                 w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
             ], dim=-1)
 
-        saved = dict(sys.modules)
+        from helpers import restore_stub_modules, snapshot_stub_modules
+
+        saved = snapshot_stub_modules()
         try:
             pkg = types.ModuleType("manotorch"); pkg.__path__ = []
             upkg = types.ModuleType("manotorch.utils"); upkg.__path__ = []
@@ -265,8 +267,4 @@ class TestHandLoss:
                     float(ours), float(theirs), rtol=1e-5, atol=1e-7,
                     err_msg=f"HandLoss formula {i} diverged")
         finally:
-            for k in list(sys.modules):
-                if k not in saved:
-                    del sys.modules[k]
-                else:
-                    sys.modules[k] = saved[k]
+            restore_stub_modules(saved)

@@ -97,7 +97,9 @@ def _shared_hierarchy():
 @pytest.fixture(scope="module")
 def ref_cmr():
     """Import the reference CMR_G with its real numeric compute chain."""
-    saved = dict(sys.modules)
+    from helpers import restore_stub_modules, snapshot_stub_modules
+
+    saved = snapshot_stub_modules()
     verts, spirals, ups = _shared_hierarchy()
 
     def spiral_tramsform(transform_fp, template_fp, ds_factors=None,
@@ -139,7 +141,9 @@ def ref_cmr():
         _stub_package("lib.metrics")
         _stub_package("lib.viztools")
         _stub_module("lib.utils.logger", logger=_DummyLogger())
-        _stub_module("lib.utils.misc", param_size=lambda m: 0)
+        _stub_module("lib.utils.misc", param_size=lambda m: 0,
+                     enable_lower_param=lambda f: f,
+                     CONST=types.SimpleNamespace())
         _stub_module("lib.utils.builder", MODEL=_Registry(), BACKBONE=_Registry())
         _stub_module("lib.utils.net_utils", init_weights=lambda *a, **k: None)
         _stub_module("lib.utils.transform", batch_persp_project=None,
@@ -179,10 +183,7 @@ def ref_cmr():
         model_mod = _il.import_module("refcmr.model")
         yield types.SimpleNamespace(model=model_mod, spirals=spirals, ups=ups)
     finally:
-        for k in list(sys.modules):
-            if k not in saved:
-                del sys.modules[k]
-        sys.modules.update(saved)
+        restore_stub_modules(saved)
 
 
 class _CN(dict):

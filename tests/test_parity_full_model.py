@@ -153,7 +153,9 @@ def _hrnet_update_config(config, yaml_path):
 @pytest.fixture(scope="module")
 def ref_poem():
     """Import the reference POEM.py with the full real compute chain."""
-    saved = dict(sys.modules)
+    from helpers import restore_stub_modules, snapshot_stub_modules
+
+    saved = snapshot_stub_modules()
 
     def index_points(points, idx):
         raw_size = idx.size()
@@ -338,11 +340,7 @@ def ref_poem():
         yield {"poem": poem, "transform": transform}
     finally:
         torch.nn.functional.scaled_dot_product_attention = orig_sdpa
-        for k in list(sys.modules):
-            if k not in saved:
-                del sys.modules[k]
-            else:
-                sys.modules[k] = saved[k]
+        restore_stub_modules(saved)
 
 
 # --------------------------------------------------------------------------

@@ -123,7 +123,9 @@ def _torch_inverse_sigmoid(x, eps=1e-5):
 
 @pytest.fixture(scope="module")
 def ref_petr():
-    saved = dict(sys.modules)
+    from helpers import restore_stub_modules, snapshot_stub_modules
+
+    saved = snapshot_stub_modules()
     try:
         regs = {
             name: _MiniRegistry()
@@ -155,8 +157,7 @@ def ref_petr():
         petr_head = _load_ref_module("lib.models.heads.petr_head", "lib/models/heads/petr_head.py")
         yield types.SimpleNamespace(kit=kit, petr_tr=petr_tr, petr_head=petr_head, CN=_CN)
     finally:
-        sys.modules.clear()
-        sys.modules.update(saved)
+        restore_stub_modules(saved)
 
 
 # ------------------------------------------------------------- fixture cfg

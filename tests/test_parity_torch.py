@@ -114,7 +114,9 @@ class _Registry:
 @pytest.fixture(scope="module")
 def ref_modules():
     """Import the reference pt_metro_transformer + ptEmb_head with stubs."""
-    saved = dict(sys.modules)
+    from helpers import restore_stub_modules, snapshot_stub_modules
+
+    saved = snapshot_stub_modules()
 
     def index_points(points, idx):
         raw_size = idx.size()
@@ -192,11 +194,7 @@ def ref_modules():
         )
         yield {"pt": pt, "pmt": pmt, "head": head_mod, "tr": tr}
     finally:
-        for k in list(sys.modules):
-            if k not in saved:
-                del sys.modules[k]
-            else:
-                sys.modules[k] = saved[k]
+        restore_stub_modules(saved)
 
 
 def _make_bert_config(hidden, heads, dropout, n_neighbor, init_block, final_block,
