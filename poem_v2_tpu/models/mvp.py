@@ -1,211 +1,433 @@
 """MVP baseline: multi-view pose with projective deformable attention.
 
-TPU re-design of the reference MVP stack (lib/models/MVP.py:5-9,
-lib/models/heads/mvp_head.py:76-298, lib/models/layers/mvp_decoder.py:66-497):
-21 joint queries are refined by decoder layers whose cross-attention
-*projects* each query's current 3D position into every view and gathers
-multi-scale image features around it — the reference's custom
-``Deformable`` CUDA extension (mvp_decoder.py:36-94) becomes learnable
-sampling offsets + the batched bilinear gather
-(:func:`poem_v2_tpu.ops.sampling.grid_sample_points`), which XLA fuses
-on-TPU. The final layer regresses MANO pose (6D) + shape; the mesh comes
-from the first-party JAX MANO layer.
+Faithful TPU re-design of the reference MVP stack — ``MVP``
+(lib/models/MVP.py:5-9, a ``PETRMultiView`` subclass), ``MVPHead``
+(lib/models/heads/mvp_head.py:76-298) and the ``MvPDecoder`` /
+``MvPDecoderLayer`` / ``ProjAttn`` chain
+(lib/models/layers/mvp_decoder.py:97-497). The reference's custom
+``Deformable`` CUDA extension (``DeformFunction``,
+mvp_decoder.py:66-94) is replaced by the batched bilinear gather
+(:func:`poem_v2_tpu.ops.sampling.grid_sample_points`) arranged per
+(head, level, point) — the multi-scale deformable-attention math, which
+XLA fuses on-TPU; everything else reproduces the reference forward
+step for step so the torch differential (tests/test_parity_mvp.py) can
+pin per-layer numerics:
+
+* per-level 3x3 ConvBlock ``feat_delayer`` re-projections
+  (mvp_head.py:234-236) and the pooled ``reference_feats`` seed for the
+  learned reference points (mvp_head.py:238-246),
+* camera-ray embeddings ``get_rays_new`` (mvp_head.py:35-61) feeding
+  ProjAttn's ``rayconv`` value projection (mvp_decoder.py:199-211),
+* the reference's 2D reference-point normalisation *including its
+  global-max quirk* ``ref / ref.max()`` (mvp_decoder.py:381-385),
+* the lvl-major -> head-major reshape of sampling offsets / attention
+  weights (mvp_decoder.py:218-225 ``.view`` on the stacked per-level
+  features — only valid for cfg ``num_feature_levels == 1``, which is
+  the only configuration the reference code runs),
+* per-layer MANO regression from the flattened 21xC query tensor with
+  its trailing LayerNorm (mvp_decoder.py:281-287,325-328),
+* sigmoid-space reference refinement via head-owned per-layer reg
+  branches (mvp_decoder.py:482-485), and the final verts-plus-
+  normalised-root, position-range-scaled coordinate assembly
+  (mvp_head.py:266-293).
+
+Masked-batch change (documented deviation): padded views are excluded
+from the 'mean' view fuse and the pooled reference feature by the view
+mask; with all views valid the math is bit-identical to the reference's
+fixed ``CAMERA_NUM``.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import math
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
-from ..geometry.camera import project_world_to_pixel
-from ..geometry.rotations import rot6d_to_aa
-from ..ops.sampling import grid_sample_points, pixel_to_grid
+from ..geometry.camera import cam_extr_transf, cam_intr_projection, inverse_sigmoid
+from ..ops.sampling import grid_sample_points
 from ..utils.registry import HEAD, MODEL
-from .bricks.attention import BertFFN, MLP
+from .bricks.transformer_layer import MultiheadAttention
+from .neck import ConvBlock
 
 
-class ProjectiveAttention(nn.Module):
-    """Multi-scale deformable projective attention.
+def get_camera_rays(image_size, H, W, intr, extr):
+    """Per-pixel unit ray directions — reference ``get_rays_new``
+    (mvp_head.py:35-61), including its exact operation order: intrinsics
+    rescaled by ``W / image_size[0]``, ``rays_o = -R^T T``,
+    ``pixel_world = (xy1 K^-T - T^T) R``.
 
-    For each query: project its 3D point to each view, predict
-    ``num_points`` 2D offsets + attention weights per (head, level),
-    bilinear-sample each pyramid level's view features, and combine
-    with view masking — the TPU re-design of the reference's
-    multi-scale ``ProjAttn`` CUDA op (mvp_decoder.py:97-324).
+    intr: (B, V, 3, 3); extr: (B, V, 4, 4) rows R|T as the reference
+    slices them (R = extr[:3,:3], T = extr[:3,3:]). Returns (B, V, H, W, 3).
+    """
+    B, V = intr.shape[:2]
+    ratio = W / image_size[0]
+    K = intr.astype(jnp.float32)
+    K = K.at[..., :2, :].multiply(ratio)
+    R = extr[..., :3, :3].astype(jnp.float32)
+    T = extr[..., :3, 3:].astype(jnp.float32)
+
+    rays_o = -jnp.einsum("bvji,bvjk->bvik", R, T)  # R^T T, (B,V,3,1)
+    j, i = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                        jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    xy1 = jnp.stack([i, j, jnp.ones_like(i)], axis=-1).reshape(1, 1, H * W, 3)
+    k_inv = jnp.linalg.inv(K)
+    pixel_camera = jnp.einsum("bvnj,bvkj->bvnk", xy1, k_inv, precision="highest")
+    pixel_world = jnp.einsum(
+        "bvnj,bvjk->bvnk", pixel_camera - jnp.swapaxes(T, -1, -2), R, precision="highest"
+    )
+    rays_d = pixel_world - jnp.swapaxes(rays_o, -1, -2)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    return rays_d.reshape(B, V, H, W, 3)
+
+
+def _offset_bias_init(n_heads: int, n_lin_levels: int, n_points: int):
+    """ProjAttn sampling-offset bias: per-head compass directions scaled
+    by point index (reference ProjAttn._reset_parameters,
+    mvp_decoder.py:146-157)."""
+    thetas = np.arange(n_heads, dtype=np.float32) * (2.0 * math.pi / n_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, n_lin_levels, n_points, 1))
+    for i in range(n_points):
+        grid[:, :, i, :] *= i + 1
+
+    def init(key, shape, dtype=jnp.float32):
+        flat = grid.reshape(-1)
+        assert flat.shape == shape, (flat.shape, shape)
+        return jnp.asarray(flat, dtype)
+
+    return init
+
+
+class ProjAttn(nn.Module):
+    """Projective multi-scale deformable attention
+    (reference mvp_decoder.py:97-240, 'use_rayconv' mode).
+
+    ``lin_levels`` is the reference cfg's ``num_feature_levels`` — the
+    width multiplier of the offset/weight linears. The reference's
+    ``.view`` from the (query, actual_level) stacked features to
+    (head, level, point) axes is only shape-consistent when
+    ``lin_levels == 1`` (offsets emitted per actual level through the
+    shared linear, then reinterpreted head-major); we reproduce exactly
+    that reshape.
     """
 
     embed_dims: int = 256
     num_heads: int = 8
     num_points: int = 4
-    dropout: float = 0.1
+    lin_levels: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
         self,
-        query: jnp.ndarray,  # (B, Q, C)
-        query_xyz: jnp.ndarray,  # (B, Q, 3) world
-        feats,  # (B, V, H, W, C) or list of such pyramid levels
-        view_mask: jnp.ndarray,  # (B, V)
-        cam_intr: jnp.ndarray,
-        cam_extr: jnp.ndarray,
-        inp_res: Tuple[int, int],
-        deterministic: bool = True,
+        query: jnp.ndarray,  # (BV, Q, C)
+        reference_points: jnp.ndarray,  # (BV, Q, L, 2) normalised [~0, 1]
+        src_views: Sequence[jnp.ndarray],  # L x (BV, H, W, C)
+        camera_rays: Sequence[jnp.ndarray],  # L x (BV, H, W, 3)
     ) -> jnp.ndarray:
-        if not isinstance(feats, (list, tuple)):
-            feats = [feats]
-        B, Q, C = query.shape
-        V = feats[0].shape[1]
+        BV, Q, C = query.shape
         nh, npt = self.num_heads, self.num_points
-        nl = len(feats)
+        L = len(src_views)
         hd = self.embed_dims // nh
+        if self.lin_levels != 1:
+            raise NotImplementedError(
+                "reference ProjAttn reshape is only consistent for "
+                "num_feature_levels == 1 (mvp_decoder.py:218-225)")
 
-        proj = project_world_to_pixel(query_xyz.astype(jnp.float32), cam_extr, cam_intr)
-        base = pixel_to_grid(proj, inp_res)  # (B, V, Q, 2) in [-1, 1]
+        # ref-point features per level: grid_sample at the clamped grid
+        # (mvp_decoder.py:189-198, align_corners=False)
+        sample_grid = jnp.clip(reference_points * 2.0 - 1.0, -1.1, 1.1)
+        ref_feats = []
+        for lvl, src in enumerate(src_views):
+            ref_feats.append(
+                grid_sample_points(src, sample_grid[:, :, lvl, :].astype(src.dtype))
+            )  # (BV, Q, C)
+        ref_stack = jnp.stack(ref_feats, axis=2)  # (BV, Q, L, C)
 
-        # per-(head, level, point) offsets and softmax weights from the query
-        offsets = nn.Dense(nh * nl * npt * 2, dtype=self.dtype, name="sampling_offsets")(query)
-        offsets = offsets.reshape(B, Q, nh, nl, npt, 2).astype(jnp.float32)
-        weights = nn.Dense(nh * nl * npt, dtype=self.dtype, name="attention_weights")(query)
-        weights = nn.softmax(weights.reshape(B, Q, nh, nl * npt), axis=-1)
-        weights = weights.reshape(B, Q, nh, nl, npt)
+        # rayconv value over flattened levels + ray dirs (mvp_decoder.py:199-211)
+        flat_feats = jnp.concatenate(
+            [s.reshape(BV, -1, C) for s in src_views], axis=1
+        )
+        flat_rays = jnp.concatenate(
+            [r.reshape(BV, -1, 3).astype(flat_feats.dtype) for r in camera_rays], axis=1
+        )
+        value = nn.Dense(self.embed_dims, dtype=self.dtype, name="rayconv")(
+            jnp.concatenate([flat_feats, flat_rays], axis=-1)
+        )
 
-        value_proj = nn.Dense(self.embed_dims, dtype=self.dtype, name="value_proj")
+        # offsets / weights from (per-level ref feats + query)
+        # (mvp_decoder.py:218-225); lvl-major -> head-major reshape kept
+        mix = ref_stack + query[:, :, None, :]
+        offsets = nn.Dense(
+            nh * self.lin_levels * npt * 2, dtype=self.dtype, name="sampling_offsets",
+            kernel_init=nn.initializers.zeros,
+            bias_init=_offset_bias_init(nh, self.lin_levels, npt),
+        )(mix)
+        offsets = offsets.reshape(BV, Q, nh, L, npt, 2).astype(jnp.float32)
+        weights = nn.Dense(
+            nh * self.lin_levels * npt, dtype=self.dtype, name="attention_weights",
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+        )(mix)
+        weights = nn.softmax(weights.reshape(BV, Q, nh, L * npt), axis=-1)
+        weights = weights.reshape(BV, Q, nh, L, npt)
 
-        out = jnp.zeros((B, Q, nh, hd), dtype=self.dtype)
-        vm = view_mask[:, :, None, None, None].astype(self.dtype)
-        n_views = jnp.maximum(jnp.sum(view_mask, axis=1).astype(self.dtype), 1.0)
-        idx = jnp.arange(nh)
-        for li, feat in enumerate(feats):
-            H, W = feat.shape[2], feat.shape[3]
-            value = value_proj(feat).reshape(B, V, H, W, nh, hd)
-            off = offsets[:, :, :, li] / jnp.asarray([W, H], dtype=jnp.float32)
-            pos = base[:, :, :, None, None, :] + off[:, None]  # (B, V, Q, nh, npt, 2)
-            pos_flat = pos.reshape(B * V, Q * nh * npt, 2)
-            val_flat = value.reshape(B * V, H, W, nh * hd)
-            sampled = grid_sample_points(val_flat, pos_flat.astype(val_flat.dtype))
-            sampled = sampled.reshape(B, V, Q, nh, npt, nh, hd)
-            sampled = sampled[:, :, :, idx, :, idx, :]  # diag over heads
-            sampled = jnp.moveaxis(sampled, 0, 3)  # (B, V, Q, nh, npt, hd)
-            lvl = jnp.einsum(
-                "bvqhpd,bqhp->bvqhd", sampled, weights[:, :, :, li].astype(sampled.dtype)
+        # sampling locations (mvp_decoder.py:227-230): offsets normalised
+        # by each actual level's (W, H)
+        shapes_wh = jnp.asarray(
+            [[s.shape[2], s.shape[1]] for s in src_views], dtype=jnp.float32
+        )  # (L, 2) = (W, H)
+        loc = (
+            reference_points[:, :, None, :, None, :].astype(jnp.float32)
+            + offsets / shapes_wh[None, None, None, :, None, :]
+        )  # (BV, Q, nh, L, npt, 2)
+
+        # multi-scale deformable gather = DeformFunction forward
+        # (mvp_decoder.py:66-76): per level, bilinear-sample each head's
+        # value slice at loc*2-1 and fold with the attention weights
+        sizes = [s.shape[1] * s.shape[2] for s in src_views]
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]]).tolist()
+        out = jnp.zeros((BV, Q, nh, hd), dtype=jnp.float32)
+        for lvl, src in enumerate(src_views):
+            H, W = src.shape[1], src.shape[2]
+            v = value[:, starts[lvl]:starts[lvl] + sizes[lvl]]
+            v = v.reshape(BV, H, W, nh, hd)
+            v = jnp.moveaxis(v, 3, 1).reshape(BV * nh, H, W, hd)
+            g = loc[:, :, :, lvl] * 2.0 - 1.0  # (BV, Q, nh, npt, 2)
+            g = jnp.moveaxis(g, 2, 1).reshape(BV * nh, Q * npt, 2)
+            s = grid_sample_points(v, g.astype(v.dtype))
+            s = s.reshape(BV, nh, Q, npt, hd).astype(jnp.float32)
+            out = out + jnp.einsum(
+                "bhqpd,bqhp->bqhd", s, weights[:, :, :, lvl].astype(jnp.float32)
             )
-            out = out + jnp.sum(lvl * vm, axis=1) / n_views[:, None, None, None]
 
-        out = out.reshape(B, Q, self.embed_dims)
-        out = nn.Dense(self.embed_dims, dtype=self.dtype, name="output_proj")(out)
-        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
-        return nn.LayerNorm(dtype=self.dtype, name="ln")(out + query)
+        out = out.reshape(BV, Q, nh * hd).astype(self.dtype)
+        return nn.Dense(self.embed_dims, dtype=self.dtype, name="output_proj")(out)
 
 
 class MvPDecoderLayer(nn.Module):
+    """One decoder layer (reference mvp_decoder.py:243-447): self-attn,
+    per-view projective attention, masked-'mean' view fuse, FFN, and the
+    MANO-parameter branch off the flattened query tensor."""
+
     embed_dims: int = 256
     num_heads: int = 8
     num_points: int = 4
+    lin_levels: int = 1
+    d_ffn: int = 1024
     dropout: float = 0.1
+    num_joints: int = 21
+    mano_ncomps: int = 58  # 3 + pose_ncomps + 10
+    position_range: Tuple[float, ...] = (-0.6, -0.6, 0.0, 0.6, 0.6, 1.2)
+    detach_refpoints: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
-        self, query, query_xyz, feat, view_mask, cam_intr, cam_extr, inp_res,
-        deterministic=True,
+        self,
+        tgt: jnp.ndarray,  # (B, Q, C)
+        query_pos: jnp.ndarray,  # (B, Q, C)
+        reference_points: jnp.ndarray,  # (B, Q, 3) in [0, 1]
+        src_views: Sequence[jnp.ndarray],  # L x (B, V, H, W, C)
+        camera_rays: Sequence[jnp.ndarray],  # L x (B, V, H, W, 3)
+        view_mask: jnp.ndarray,  # (B, V)
+        cam_intr: jnp.ndarray,
+        cam_extr: jnp.ndarray,
+        deterministic: bool = True,
     ):
-        # query self attention
-        from .bricks.attention import MultiHeadCrossAttention
+        B, Q, C = tgt.shape
+        V = src_views[0].shape[1]
+        pr = jnp.asarray(self.position_range, dtype=jnp.float32)
 
-        query = MultiHeadCrossAttention(
-            self.embed_dims, self.num_heads, self.dropout, dtype=self.dtype, name="self_attn"
-        )(query, query, deterministic=deterministic)
-        # projective cross attention
-        query = ProjectiveAttention(
-            self.embed_dims, self.num_heads, self.num_points, self.dropout,
+        # ---- self attention (mvp_decoder.py:359-363) --------------------
+        tgt2 = MultiheadAttention(
+            self.embed_dims, self.num_heads, self.dropout, dtype=self.dtype,
+            name="self_attn",
+        )(tgt, tgt, tgt, query_pos, query_pos, None, deterministic)
+        tgt = tgt + nn.Dropout(self.dropout, deterministic=deterministic)(tgt2)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt)
+
+        # ---- project reference points into every view -------------------
+        ref = reference_points.astype(jnp.float32)
+        if self.detach_refpoints:
+            ref = jax.lax.stop_gradient(ref)
+        ref_e = jnp.broadcast_to(ref[:, None], (B, V, Q, 3))
+        ref_abs = ref_e * (pr[3:] - pr[:3]) + pr[:3]  # norm2absolute
+        # world -> camera -> pixels (mvp_decoder.py:377-379, full inverse)
+        pts_cam = cam_extr_transf(jnp.linalg.inv(cam_extr.astype(jnp.float32)), ref_abs)
+        uv = cam_intr_projection(cam_intr.astype(jnp.float32), pts_cam)  # (B,V,Q,2)
+
+        # per-level scaling + THE reference's global-max normalisation
+        # (mvp_decoder.py:381-385)
+        shapes_wh = jnp.asarray(
+            [[s.shape[3], s.shape[2]] for s in src_views], dtype=jnp.float32
+        )
+        ref_pix = uv.reshape(B * V, Q, 1, 2)
+        ref_lvl = ref_pix * shapes_wh[None, None] / (shapes_wh[None, None] - 1.0)
+        ref_lvl = ref_lvl / jnp.max(ref_lvl)
+
+        # ---- per-view projective attention ------------------------------
+        tgt_expand = jnp.broadcast_to(tgt[:, None], (B, V, Q, C)).reshape(B * V, Q, C)
+        pos_expand = jnp.broadcast_to(query_pos[:, None], (B, V, Q, C)).reshape(B * V, Q, C)
+        src_flat = [s.reshape((B * V,) + s.shape[2:]) for s in src_views]
+        rays_flat = [r.reshape((B * V,) + r.shape[2:]) for r in camera_rays]
+        tgt2 = ProjAttn(
+            self.embed_dims, self.num_heads, self.num_points, self.lin_levels,
             dtype=self.dtype, name="proj_attn",
-        )(query, query_xyz, feat, view_mask, cam_intr, cam_extr, inp_res, deterministic)
-        query = BertFFN(self.embed_dims, self.embed_dims * 4, self.dropout,
-                        dtype=self.dtype, name="ffn")(query, deterministic=deterministic)
-        # refine 3D positions
-        delta = MLP(self.embed_dims, 3, dtype=self.dtype, name="reg_branch")(query)
-        return query, query_xyz + delta.astype(query_xyz.dtype) * 0.01
+        )(tgt_expand + pos_expand, ref_lvl, src_flat, rays_flat)
+
+        # ---- masked 'mean' view fuse (mvp_decoder.py:392-393) -----------
+        tgt2 = tgt2.reshape(B, V, Q, C)
+        vm = view_mask[:, :, None, None].astype(tgt2.dtype)
+        n_valid = jnp.maximum(jnp.sum(view_mask.astype(tgt2.dtype), axis=1), 1.0)
+        tgt2 = jnp.sum(tgt2 * vm, axis=1) / n_valid[:, None, None]
+
+        tgt = tgt + nn.Dropout(self.dropout, deterministic=deterministic)(tgt2)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt)
+
+        # ---- ffn (mvp_decoder.py:319-323) -------------------------------
+        h = nn.relu(nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(tgt))
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Dense(self.embed_dims, dtype=self.dtype, name="linear2")(h)
+        tgt = tgt + nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt)
+
+        # ---- MANO branch off flattened queries (mvp_decoder.py:325-328) -
+        m = nn.Dense(self.embed_dims, dtype=self.dtype, name="linear_mano_1")(
+            tgt.reshape(B, Q * C)
+        )
+        m = nn.Dropout(self.dropout, deterministic=deterministic)(nn.relu(m))
+        m = nn.Dense(self.mano_ncomps, dtype=self.dtype, name="linear_mano_2")(m)
+        mano_params = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm4")(m)
+
+        return tgt, mano_params
 
 
 @HEAD.register_module("MVPHead")
 class MVPHead(nn.Module):
-    """21 joint queries -> refined joints + MANO mesh (mvp_head.py:76-298)."""
+    """21 joint queries -> per-layer refined joints + MANO mesh
+    (reference mvp_head.py:76-298)."""
 
     embed_dims: int = 256
-    num_layers: int = 4
+    num_layers: int = 6
     num_heads: int = 8
     num_points: int = 4
+    lin_levels: int = 1
+    d_ffn: int = 1024
     num_joints: int = 21
     dropout: float = 0.1
+    mano_pose_ncomps: int = 45
+    center_idx: int = 0
+    position_range: Tuple[float, ...] = (-0.6, -0.6, 0.0, 0.6, 0.6, 1.2)
+    image_size: Tuple[int, int] = (256, 256)
+    delayer_norm: str = "bn"
+    detach_refpoints: bool = True
     mano_layer: Optional[object] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
         self,
-        feat,  # (B, V, H, W, C_in) or list of pyramid levels
-        view_mask: jnp.ndarray,
-        cam_intr: jnp.ndarray,
-        cam_extr: jnp.ndarray,
-        ref_center: jnp.ndarray,  # (B, 3) initial hand centre (world)
-        inp_res: Tuple[int, int] = (256, 256),
+        mlvl_feats: Sequence[jnp.ndarray],  # backbone levels, (B, V, H, W, C) each
+        view_mask: jnp.ndarray,  # (B, V)
+        cam_intr: jnp.ndarray,  # (B, V, 3, 3)
+        cam_extr: jnp.ndarray,  # (B, V, 4, 4) camera->master
         deterministic: bool = True,
     ):
-        feats = feat if isinstance(feat, (list, tuple)) else [feat]
-        B = feats[0].shape[0]
-        # per-level input projection (the reference projects each pyramid
-        # level separately before ProjAttn, mvp_decoder.py:97-130)
-        x = [
-            nn.Conv(self.embed_dims, (1, 1), dtype=self.dtype, name=f"input_proj_{i}")(f)
-            for i, f in enumerate(feats)
+        if self.mano_pose_ncomps != 45:
+            raise NotImplementedError(
+                "PCA pose space not supported; the reference default "
+                "(MANO_POSE_NCOMPS=45, mvp_head.py:93,125) is full axis-angle")
+        B, V = mlvl_feats[0].shape[:2]
+        E = self.embed_dims
+        Q = self.num_joints
+        pr = jnp.asarray(self.position_range, dtype=jnp.float32)
+
+        # deepest-first three levels (mvp_head.py:230-236)
+        all_feats = list(mlvl_feats[::-1])[:3]
+        proc = []
+        for i, f in enumerate(all_feats):
+            h, w = f.shape[2], f.shape[3]
+            x = ConvBlock(
+                E, kernel_size=3, norm=self.delayer_norm, relu=True,
+                dtype=self.dtype, name=f"feat_delayer_{i}",
+            )(f.reshape(B * V, h, w, f.shape[-1]))
+            proc.append(x.reshape(B, V, h, w, E))
+
+        # pooled per-level global feats -> learned reference seed
+        # (mvp_head.py:238-246); padded views masked out of the pool
+        vm = view_mask[:, :, None].astype(self.dtype)
+        pooled = jnp.concatenate(
+            [jnp.mean(p, axis=(2, 3)) * vm for p in proc], axis=-1
+        )  # (B, V, 3E)
+        ref_feats = nn.Dense(E, dtype=self.dtype, name="reference_feats")(
+            pooled.reshape(B, -1)
+        )[:, None, :]
+
+        tgt_pose = self.param(
+            "tgt_pose_embedding", nn.initializers.uniform(scale=1.0), (Q, 2 * E)
+        )
+        tgt_pose = nn.sigmoid(jnp.broadcast_to(tgt_pose[None].astype(self.dtype), (B, Q, 2 * E)))
+        tgt, query_embed = tgt_pose[..., :E], tgt_pose[..., E:]
+        reference_points = nn.sigmoid(
+            nn.Dense(3, dtype=self.dtype, name="reference_points")(query_embed + ref_feats)
+        ).astype(jnp.float32)
+
+        camera_rays = [
+            get_camera_rays(self.image_size, p.shape[2], p.shape[3], cam_intr, cam_extr)
+            for p in proc
         ]
 
-        query = self.param(
-            "joint_queries", nn.initializers.normal(0.02), (self.num_joints, self.embed_dims)
-        )
-        query = jnp.broadcast_to(query[None].astype(self.dtype), (B, self.num_joints, self.embed_dims))
-        query_xyz = jnp.broadcast_to(ref_center[:, None], (B, self.num_joints, 3))
-
-        joints_per_layer = []
+        inter_refs, inter_mano = [], []
         for i in range(self.num_layers):
-            query, query_xyz = MvPDecoderLayer(
-                self.embed_dims, self.num_heads, self.num_points, self.dropout,
+            tgt, mano_params = MvPDecoderLayer(
+                E, self.num_heads, self.num_points, self.lin_levels, self.d_ffn,
+                self.dropout, Q, 3 + self.mano_pose_ncomps + 10,
+                self.position_range, self.detach_refpoints,
                 dtype=self.dtype, name=f"layer_{i}",
-            )(query, query_xyz, x, view_mask, cam_intr, cam_extr, inp_res, deterministic)
-            joints_per_layer.append(query_xyz)
+            )(
+                tgt, query_embed, reference_points, proc, camera_rays,
+                view_mask, cam_intr, cam_extr, deterministic,
+            )
+            # head-owned per-layer reg branch (mvp_head.py:119-123,
+            # mvp_decoder.py:482-485): sigmoid-space refinement
+            h = nn.relu(nn.Dense(E, dtype=self.dtype, name=f"reg_branch_{i}_fc")(tgt))
+            tmp = nn.Dense(3, dtype=self.dtype, name=f"reg_branch_{i}_out")(h)
+            reference_points = nn.sigmoid(
+                tmp.astype(jnp.float32) + inverse_sigmoid(reference_points)
+            )
+            inter_refs.append(reference_points)
+            inter_mano.append(mano_params.astype(jnp.float32))
 
-        # MANO regression from pooled query features (mvp_decoder.py:325-341)
-        pooled = jnp.mean(query, axis=1)  # (B, C)
-        mano_params = nn.Dense(16 * 6 + 10, dtype=self.dtype, name="mano_head")(pooled)
-        pose6d = mano_params[:, :96].astype(jnp.float32)
-        shape = mano_params[:, 96:].astype(jnp.float32)
-        pose_aa = rot6d_to_aa(pose6d.reshape(B, 16, 6)).reshape(B, 48)
-        mano_out = self.mano_layer(pose_aa, shape)
+        inter_refs = jnp.nan_to_num(jnp.stack(inter_refs))  # (L, B, 21, 3)
+        inter_mano = jnp.nan_to_num(jnp.stack(inter_mano))  # (L, B, 58)
 
-        centre = query_xyz[:, 9:10]  # align mesh at the middle-MCP query
-        verts = mano_out.verts + centre
-        joints = mano_out.joints + centre
-        mesh = jnp.concatenate([joints, verts], axis=1)  # (B, 799, 3)
+        # per-layer MANO surface + normalised root, then position-range
+        # scaling of the WHOLE coordinate tensor (mvp_head.py:266-293)
+        verts_list = []
+        for lvl in range(self.num_layers):
+            pose = inter_mano[lvl, :, : 3 + self.mano_pose_ncomps]
+            shape = inter_mano[lvl, :, 3 + self.mano_pose_ncomps:]
+            mano_out = self.mano_layer(pose, shape)
+            root = inter_refs[lvl, :, self.center_idx][:, None]
+            verts_list.append(mano_out.verts + root)
         all_coords = jnp.concatenate(
-            [
-                jnp.stack([jnp.concatenate([j, jnp.zeros((B, 778, 3))], axis=1) for j in joints_per_layer]),
-                mesh[None],
-            ],
-            axis=0,
-        )
+            [inter_refs, jnp.stack(verts_list)], axis=-2
+        )  # (L, B, 799, 3)
+        all_coords = all_coords * (pr[3:] - pr[:3]) + pr[:3]
         return {
             "all_coords_preds": all_coords,
-            "pred_pose": pose_aa.reshape(B, 16, 3),
-            "pred_shape": shape,
-            "pred_joints_per_layer": jnp.stack(joints_per_layer),
+            "mano_pose_shape": inter_mano,
         }
 
 
 class MVP(nn.Module):
-    """Backbone + MVPHead (reference MVP.py:5-9 subclasses PETRMultiView)."""
+    """Backbone + MVPHead (reference MVP.py:5-9 subclasses PETRMultiView;
+    feature prep mirrors PETR.extract_img_feat, PETR.py:80-100)."""
 
     backbone: nn.Module
     head: nn.Module
@@ -214,33 +436,29 @@ class MVP(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, images, view_mask, cam_intr, cam_extr, master_joints_3d=None, train=False):
+    def __call__(self, images, view_mask, cam_intr, cam_extr, master_joints_3d=None,
+                 train: bool = False):
         B, V, H, W, _ = images.shape
         feats = self.backbone(images.reshape(B * V, H, W, 3).astype(self.dtype))
         if isinstance(feats, dict):
-            levels = [feats["res_layer2"], feats["res_layer3"], feats["res_layer4"]]
+            levels = [feats[k] for k in ("res_layer1", "res_layer2", "res_layer3", "res_layer4")]
         else:
-            levels = list(feats[1:4])
+            levels = list(feats[:4])
         lvl = [f.reshape(B, V, f.shape[1], f.shape[2], f.shape[-1]) for f in levels]
 
-        if master_joints_3d is not None:
-            ref_center = master_joints_3d[:, 9]
-        else:
-            ref_center = jnp.tile(jnp.asarray([[0.0, 0.0, 0.6]]), (B, 1))
-
-        preds = self.head(
-            lvl, view_mask, cam_intr, cam_extr, ref_center,
-            inp_res=(W, H), deterministic=not train,
-        )
+        preds = self.head(lvl, view_mask, cam_intr, cam_extr, deterministic=not train)
         all_coords = preds["all_coords_preds"]
         pred_joints = all_coords[-1, :, : self.num_joints]
-        pred_verts = all_coords[-1, :, self.num_joints :]
+        pred_verts = all_coords[-1, :, self.num_joints:]
         centre = pred_joints[:, self.center_idx][:, None]
+        pose_shape = preds["mano_pose_shape"][-1]
         preds.update(
             pred_joints_3d=pred_joints,
             pred_verts_3d=pred_verts,
             pred_joints_3d_rel=pred_joints - centre,
             pred_verts_3d_rel=pred_verts - centre,
+            pred_pose=pose_shape[:, :48].reshape(B, 16, 3),
+            pred_shape=pose_shape[:, 48:],
         )
         return preds
 
@@ -251,19 +469,25 @@ def create_mvp_model(cfg, dtype=jnp.float32):
 
     bb = ResNet.from_config(cfg.BACKBONE, dtype=dtype)
     head_cfg = cfg.HEAD
+    center_idx = cfg.DATA_PRESET.CENTER_IDX if "DATA_PRESET" in cfg else 0
     head = MVPHead(
         embed_dims=head_cfg.EMBED_DIMS,
-        num_layers=head_cfg.get("NUM_PREDS", 4),
+        num_layers=head_cfg.get("NUM_PREDS", 6),
+        num_heads=head_cfg.get("NUM_HEADS", 8),
         num_points=head_cfg.get("NUM_POINTS", 4),
+        d_ffn=head_cfg.get("DIM_FEEDFORWARD", 4 * head_cfg.EMBED_DIMS),
         dropout=head_cfg.get("DROPOUT", 0.1),
-        mano_layer=ManoLayer(center_idx=head_cfg.get("TRANSFORMER_CENTER_IDX", 9)),
+        center_idx=center_idx,
+        position_range=tuple(head_cfg.get("POSITION_RANGE", (-0.6, -0.6, 0.0, 0.6, 0.6, 1.2))),
+        image_size=tuple(head_cfg.get("IMAGE_SIZE", (256, 256))),
+        mano_layer=ManoLayer(center_idx=center_idx),
         dtype=dtype,
     )
     model = MVP(
         backbone=bb,
         head=head,
         num_joints=cfg.DATA_PRESET.NUM_JOINTS if "DATA_PRESET" in cfg else 21,
-        center_idx=cfg.DATA_PRESET.CENTER_IDX if "DATA_PRESET" in cfg else 0,
+        center_idx=center_idx,
         dtype=dtype,
     )
     return model, {"mano_layer": ManoLayer(center_idx=None)}

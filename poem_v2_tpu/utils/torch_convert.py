@@ -267,6 +267,8 @@ def convert_conv_block(state: Dict, torch_prefix: str, params: Dict, path: List[
             used.append(bk)
     used.extend(convert_frozen_bn(state, f"{torch_prefix}.norm", params,
                                   path + ["FrozenBatchNorm_0"]))
+    if f"{torch_prefix}.norm.num_batches_tracked" in state:
+        used.append(f"{torch_prefix}.norm.num_batches_tracked")
     return used
 
 
@@ -608,4 +610,97 @@ def convert_cmr_network(state: Dict, params: Dict, arch: str = "resnet18") -> Li
         for conv in ("conv1", "conv_d3", "conv_2d3", "conv"):
             put(f"de_layers.{i}.{conv}.layer.weight", [f"deblock_{i}", conv, "Dense_0"])
         put(f"heads.{i - 1}.layer.weight", [f"heads_{i - 1}", "Dense_0"])
+    return used
+
+
+def convert_mvp_head(state: Dict, params: Dict, prefix: str = "") -> List[str]:
+    """Map a reference ``MVPHead`` state dict onto our flax MVPHead.
+
+    Reference modules (lib/models/heads/mvp_head.py:100-148 +
+    lib/models/layers/mvp_decoder.py:97-497):
+
+    * three ``feat_delayer`` ConvBlocks (conv + BatchNorm -> flax
+      ConvBlock with FrozenBatchNorm; build the head with
+      ``delayer_norm='frozen_bn'`` when converting),
+    * ``reference_feats`` / ``reference_points`` linears and the
+      ``tgt_pose_embedding`` embedding table,
+    * per decoder layer: torch ``nn.MultiheadAttention`` packed in_proj
+      split into q/k/v, the ProjAttn linears, four LayerNorms, the FFN
+      and MANO linears,
+    * head-owned per-layer ``reg_branches`` Sequentials.
+
+    ``input_proj``, ``layer_global_feat`` and ``query_embedding`` are
+    dead parameters — defined by the reference __init__ but never called
+    in forward (mvp_head.py:117,134-142) — consumed without mapping.
+    Returns the consumed torch keys.
+    """
+    used: List[str] = []
+
+    def put(torch_key, path, conv=convert_linear):
+        bias_key = torch_key.replace("weight", "bias")
+        set_in_tree(params, path + ["kernel"], conv(state[prefix + torch_key]))
+        set_in_tree(params, path + ["bias"], _t2n(state[prefix + bias_key]))
+        used.extend([prefix + torch_key, prefix + bias_key])
+
+    def put_ln(torch_prefix, path):
+        set_in_tree(params, path + ["scale"], _t2n(state[prefix + torch_prefix + ".weight"]))
+        set_in_tree(params, path + ["bias"], _t2n(state[prefix + torch_prefix + ".bias"]))
+        used.extend([prefix + torch_prefix + ".weight", prefix + torch_prefix + ".bias"])
+
+    for i in range(3):
+        used.extend(convert_conv_block(
+            state, f"{prefix}feat_delayer.{i}", params, [f"feat_delayer_{i}"]))
+
+    put("reference_feats.weight", ["reference_feats"])
+    put("reference_points.weight", ["reference_points"])
+    set_in_tree(params, ["tgt_pose_embedding"],
+                _t2n(state[prefix + "tgt_pose_embedding.weight"]))
+    used.append(prefix + "tgt_pose_embedding.weight")
+
+    # dead reference params (never used in mvp_head.forward)
+    for dead in ("input_proj.weight", "input_proj.bias",
+                 "layer_global_feat.weight", "layer_global_feat.bias",
+                 "query_embedding.0.weight", "query_embedding.0.bias",
+                 "query_embedding.2.weight", "query_embedding.2.bias"):
+        if prefix + dead in state:
+            used.append(prefix + dead)
+
+    n_layers = len([k for k in params if k.startswith("layer_")])
+    for i in range(n_layers):
+        t = f"decoder.layers.{i}."
+        layer = params[f"layer_{i}"]
+        w = _t2n(state[f"{prefix}{t}self_attn.in_proj_weight"])
+        b = _t2n(state[f"{prefix}{t}self_attn.in_proj_bias"])
+        E = w.shape[1]
+        for j, proj in enumerate(["q_proj", "k_proj", "v_proj"]):
+            set_in_tree(layer, ["self_attn", proj, "kernel"], w[j * E:(j + 1) * E].T)
+            set_in_tree(layer, ["self_attn", proj, "bias"], b[j * E:(j + 1) * E])
+        set_in_tree(layer, ["self_attn", "out_proj", "kernel"],
+                    convert_linear(state[f"{prefix}{t}self_attn.out_proj.weight"]))
+        set_in_tree(layer, ["self_attn", "out_proj", "bias"],
+                    _t2n(state[f"{prefix}{t}self_attn.out_proj.bias"]))
+        used.extend([f"{prefix}{t}self_attn.{k}" for k in (
+            "in_proj_weight", "in_proj_bias", "out_proj.weight", "out_proj.bias")])
+
+        for name in ("sampling_offsets", "attention_weights", "rayconv", "output_proj"):
+            set_in_tree(layer, ["proj_attn", name, "kernel"],
+                        convert_linear(state[f"{prefix}{t}proj_attn.{name}.weight"]))
+            set_in_tree(layer, ["proj_attn", name, "bias"],
+                        _t2n(state[f"{prefix}{t}proj_attn.{name}.bias"]))
+            used.extend([f"{prefix}{t}proj_attn.{name}.weight",
+                         f"{prefix}{t}proj_attn.{name}.bias"])
+
+        for ln in ("norm1", "norm2", "norm3", "norm4"):
+            set_in_tree(layer, [ln, "scale"], _t2n(state[f"{prefix}{t}{ln}.weight"]))
+            set_in_tree(layer, [ln, "bias"], _t2n(state[f"{prefix}{t}{ln}.bias"]))
+            used.extend([f"{prefix}{t}{ln}.weight", f"{prefix}{t}{ln}.bias"])
+
+        for name in ("linear1", "linear2", "linear_mano_1", "linear_mano_2"):
+            set_in_tree(layer, [name, "kernel"],
+                        convert_linear(state[f"{prefix}{t}{name}.weight"]))
+            set_in_tree(layer, [name, "bias"], _t2n(state[f"{prefix}{t}{name}.bias"]))
+            used.extend([f"{prefix}{t}{name}.weight", f"{prefix}{t}{name}.bias"])
+
+        put(f"reg_branches.{i}.0.weight", [f"reg_branch_{i}_fc"])
+        put(f"reg_branches.{i}.2.weight", [f"reg_branch_{i}_out"])
     return used
