@@ -22,6 +22,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_VMEM_BUDGET = 100 * 1024 * 1024
+
 
 def _scatter_kernel(idx_ref, g_ref, out_ref, *, n_pad: int):
     """One (b, row-chunk) program: out[b] += onehot(idx_chunk)ᵀ @ g_chunk.
@@ -64,6 +66,15 @@ def scatter_add_rows(
     The gather-backward for ``index_points``: equivalent to XLA's
     scatter-add but spelled as per-chunk one-hot matmuls (MXU) with the
     one-hot built in VMEM. f32 accumulation regardless of grads dtype.
+
+    VMEM capacity: the full (n_pad, D) f32 output block stays resident
+    (n_pad = n_rows rounded to 128) and each chunk adds a
+    (chunk_m*K, n_pad) one-hot + (chunk_m*K, D) grads tile — all linear
+    in n_rows. ``chunk_m`` is auto-halved (down to 1) until the estimate
+    fits ``_VMEM_BUDGET``; beyond that (n_rows*D f32 alone over budget,
+    e.g. n_rows*D > ~23M) the kernel raises instead of letting Mosaic
+    fail allocation — split the scatter target or fall back to XLA's
+    scatter-add at that size.
     """
     # Mosaic only lowers on TPU; on CPU (tests/debug) fall back to
     # interpret. Check the pinned default device first — the axon plugin
@@ -74,6 +85,17 @@ def scatter_add_rows(
     if platform == "cpu":
         interpret = True
     B, M, K, D = grads.shape
+    n_pad_est = max(-n_rows % 128 + n_rows, 128)
+    bpe = jnp.dtype(grads.dtype).itemsize
+    out_bytes = n_pad_est * D * 4
+    while chunk_m > 1 and out_bytes + chunk_m * K * (n_pad_est + D) * bpe > _VMEM_BUDGET:
+        chunk_m //= 2
+    if out_bytes + chunk_m * K * (n_pad_est + D) * bpe > _VMEM_BUDGET:
+        raise ValueError(
+            f"scatter_add_rows target too large for VMEM: n_rows={n_rows}, "
+            f"D={D} needs ~{out_bytes // 2**20} MB resident output vs the "
+            f"{_VMEM_BUDGET // 2**20} MB budget; split the target rows or "
+            "use XLA scatter-add")
     mp = -M % chunk_m
     if mp:
         grads = jnp.pad(grads, ((0, 0), (0, mp), (0, 0), (0, 0)))
@@ -97,9 +119,9 @@ def scatter_add_rows(
         out_specs=pl.BlockSpec((1, n_pad, D), lambda b, c: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_pad, D), jnp.float32),
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
+        # CompilerParams is harmless under interpret on the pinned JAX
+        # (verified) — passed unconditionally like the sibling kernels
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET),
         interpret=interpret,
     )(idx, grads)
     return out[:, :n_rows]

@@ -118,8 +118,10 @@ def _contact_sheet(images, gt2d, intr, extr, j3d_master, verts_master, out_path)
     """Write one PNG: per-view overlay panels + a 3D skeleton panel."""
     import cv2
 
-    from poem_v2_tpu.viztools.draw import draw_joints_2d, tile_views
+    from poem_v2_tpu.viztools.draw import draw_joints_2d
     from poem_v2_tpu.viztools.renderer import render_mesh_overlay
+    from poem_v2_tpu.viztools.wireframe import (
+        caption_combined_view, combine_view, draw_wireframe_hand)
 
     faces = None
     if verts_master is not None:
@@ -141,13 +143,18 @@ def _contact_sheet(images, gt2d, intr, extr, j3d_master, verts_master, out_path)
             _, verts_cam = _project(verts_master, intr[v], extr[v])
             img = render_mesh_overlay(img, verts_cam, faces, intr[v], alpha=0.45)
         if gt2d is not None and gt2d[v] is not None:
-            img = draw_joints_2d(img, np.asarray(gt2d[v]), color_override=(255, 70, 70))
+            # reference drawing vocabulary: typed per-phalanx markers +
+            # per-finger colour ramps (vis_cv2_util.py:282-291)
+            draw_wireframe_hand(img, np.asarray(gt2d[v]),
+                                np.ones(len(gt2d[v]), bool))
         img = draw_joints_2d(img, reproj, color_override=(70, 255, 70), radius=1)
         panels.append(cv2.resize(img, (size, size)) if img.shape[0] != size else img)
         cam_centers.append(np.asarray(extr[v], np.float64)[:3, 3])
 
     panels.append(_skeleton_3d_panel(j3d_master, cam_centers, size))
-    grid = tile_views(np.stack(panels), cols=min(4, len(panels)))
+    grid = combine_view(panels, ncol=min(4, len(panels)))
+    grid = caption_combined_view(
+        grid, os.path.splitext(os.path.basename(out_path))[0])
     cv2.imwrite(out_path, cv2.cvtColor(grid, cv2.COLOR_RGB2BGR))
     # mean reprojection error vs GT 2D, the numeric form of the eyeball check
     errs = []
