@@ -105,6 +105,37 @@ def split_urls_for_process(urls: List[str], process_index: int, process_count: i
     return list(urls[process_index::process_count])
 
 
+# -- spawn-pool plumbing (WORKERS_MODE: process) ---------------------------
+# Each spawned worker re-imports this module and receives ONE pickled copy
+# of the dataset object via the pool initializer (not one per task); tasks
+# ship only the raw tar bytes + an int RNG seed. cv2 thread pools are
+# disabled in workers so W processes don't oversubscribe W*ncpu threads.
+_POOL_DATASET = None
+
+
+def _pool_init(pickled_dataset: bytes) -> None:
+    global _POOL_DATASET
+    cv2.setNumThreads(0)
+    _POOL_DATASET = pickle.loads(pickled_dataset)
+
+
+def _pool_work(raw: Dict[str, bytes], seed: int) -> Dict:
+    return _POOL_DATASET.process_data_item(
+        decode_sample(raw), rng=random.Random(seed))
+
+
+def _make_process_pool(dataset: "MultiviewWebDataset", workers: int):
+    import multiprocessing
+    from concurrent.futures import ProcessPoolExecutor
+
+    return ProcessPoolExecutor(
+        workers,
+        mp_context=multiprocessing.get_context("spawn"),
+        initializer=_pool_init,
+        initargs=(pickle.dumps(dataset),),
+    )
+
+
 class MultiviewWebDataset:
     """Stream of processed multi-view samples from tar shards."""
 
@@ -136,6 +167,14 @@ class MultiviewWebDataset:
         # submission order and per-sample RNG is drawn deterministically in
         # the submitting thread, so results are thread-timing independent.
         self.workers = int(cfg.get("WORKERS", 0))
+        # "thread" (default): ordered ThreadPoolExecutor — cv2/numpy
+        # release the GIL, so threads scale WHEN the host has cores, with
+        # zero serialisation cost. "process": spawn-based process pool —
+        # sidesteps the GIL entirely for transform code that doesn't
+        # release it; same deterministic per-sample RNG + submission-order
+        # yield contract (equality-tested against the serial path).
+        self.workers_mode = str(cfg.get("WORKERS_MODE", "thread"))
+        assert self.workers_mode in ("thread", "process"), self.workers_mode
         self.transform = build_transform(
             cfg.TRANSFORM, data_preset=data_preset, is_train=is_train
         )
@@ -181,20 +220,33 @@ class MultiviewWebDataset:
                 yield self.process_data_item(decode_sample(raw))
             return
         from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
 
-        def work(raw: Dict, rng: random.Random) -> Dict:
-            return self.process_data_item(decode_sample(raw), rng=rng)
+        if self.workers_mode == "process":
+            ex = _make_process_pool(self, self.workers)
+            submit = lambda raw, i: ex.submit(
+                _pool_work, raw, self._seed * 1_000_003 + i)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(self.workers) as ex:
+            ex = ThreadPoolExecutor(self.workers)
+
+            def work(raw: Dict, rng: random.Random) -> Dict:
+                return self.process_data_item(decode_sample(raw), rng=rng)
+
+            submit = lambda raw, i: ex.submit(
+                work, raw, random.Random(self._seed * 1_000_003 + i))
+        try:
             futs: deque = deque()
             for i, raw in enumerate(stream):
-                # per-sample RNG drawn HERE (deterministic submission order)
-                futs.append(ex.submit(work, raw, random.Random(self._seed * 1_000_003 + i)))
+                # per-sample RNG seed drawn HERE (deterministic submission
+                # order), so results are worker-timing independent
+                futs.append(submit(raw, i))
                 if len(futs) >= self.workers * 2:
                     yield futs.popleft().result()
             while futs:
                 yield futs.popleft().result()
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
 
     # -- the reference's process_data_item, loop-for-loop ------------------
     def process_data_item(self, item: Dict, rng: random.Random = None) -> Dict:

@@ -56,6 +56,10 @@ def ensure_shards():
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--workers", type=int, default=0)
+    p.add_argument("--workers-mode", choices=("thread", "process"), default="thread")
+    p.add_argument("--scaling-sweep", action="store_true",
+                   help="measure samples/s for workers in {0,2,4,8} in both "
+                        "pool modes and print the per-worker scaling model")
     p.add_argument("--batches", type=int, default=30)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--aug", action="store_true",
@@ -83,26 +87,51 @@ def main():
         "RANDOM_N_VIEWS": False,
         "TRANSFORM": tf,
         "WORKERS": args.workers,
+        "WORKERS_MODE": args.workers_mode,
     })
     preset = Config({"IMAGE_SIZE": [IMG, IMG], "CENTER_IDX": 0,
                      "NUM_JOINTS": 21, "NUM_VERTS": 778})
-    ds = MultiviewWebDataset(cfg, data_preset=preset, is_train=True)
 
-    def stream():
-        # loop the epoch so --batches isn't bounded by the shard set
-        while True:
-            yield from ds
+    def measure(workers, mode):
+        c = Config({**cfg.to_dict(), "WORKERS": workers, "WORKERS_MODE": mode})
+        ds = MultiviewWebDataset(c, data_preset=preset, is_train=True)
 
-    it = batch_iterator(stream(), args.batch_size, VIEWS)
-    next(it)  # warmup: opens tars, first decodes, numpy one-time costs
-    t0 = time.perf_counter()
-    n = 0
-    for _ in range(args.batches):
-        b = next(it)
-        n += b["image"].shape[0]
-    dt = time.perf_counter() - t0
-    ms_per_batch = dt / args.batches * 1e3
-    sps = n / dt
+        def stream():
+            # loop the epoch so --batches isn't bounded by the shard set
+            while True:
+                yield from ds
+
+        it = batch_iterator(stream(), args.batch_size, VIEWS)
+        next(it)  # warmup: opens tars, first decodes, numpy one-time costs
+        t0 = time.perf_counter()
+        n = 0
+        for _ in range(args.batches):
+            b = next(it)
+            n += b["image"].shape[0]
+        dt = time.perf_counter() - t0
+        return n / dt, dt / args.batches * 1e3
+
+    if args.scaling_sweep:
+        # per-worker scaling model: efficiency = rate / (serial_rate * W).
+        # On a 1-core host both pools stay ~flat (documented expectation);
+        # on an n-core TPU host the thread pool should track min(W, cores)
+        # and the process pool bounds GIL-limited transforms.
+        serial, _ = measure(0, "thread")
+        rows = [{"workers": 0, "mode": "serial", "samples_per_sec": round(serial, 2)}]
+        for mode in ("thread", "process"):
+            for w in (2, 4, 8):
+                sps_w, _ = measure(w, mode)
+                rows.append({
+                    "workers": w, "mode": mode,
+                    "samples_per_sec": round(sps_w, 2),
+                    "speedup": round(sps_w / serial, 3),
+                    "per_worker_efficiency": round(sps_w / (serial * w), 3),
+                })
+        print(json.dumps({"metric": "loader_scaling", "ncpu": os.cpu_count(),
+                          "aug": bool(args.aug), "rows": rows}))
+        return
+
+    sps, ms_per_batch = measure(args.workers, args.workers_mode)
 
     # measured device budgets at flagship geometry (docs/performance.md)
     eval_step_ms, eval_bs = 89.9, 16
@@ -112,6 +141,7 @@ def main():
         "value": round(sps, 2),
         "unit": "samples/s",
         "workers": args.workers,
+        "workers_mode": args.workers_mode,
         "aug": bool(args.aug),
         "ms_per_batch_b%d" % args.batch_size: round(ms_per_batch, 1),
         # device_rate / loader_rate: > 1.0 = the device starves

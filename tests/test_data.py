@@ -167,6 +167,29 @@ class TestWDS:
         r2 = [s["image"].shape for s in MultiviewWebDataset(cfgr, data_preset=DATA_PRESET)]
         assert r1 == r2
 
+    def test_process_pool_matches_serial(self, tmp_path):
+        """WORKERS_MODE=process (spawn pool) must honour the SAME
+        deterministic per-sample RNG + submission-order yield contract as
+        the serial and threaded paths — on hosts where threads cannot
+        scale (GIL-bound transforms), the process pool is the proof-
+        capable knob."""
+        shard = make_shard(str(tmp_path / "Test_mv_train-000000.tar"))
+        cfg0 = ds_cfg(shard, random_n_views=False)
+        ref = list(MultiviewWebDataset(cfg0, data_preset=DATA_PRESET))
+        cfgp = Config({**cfg0.to_dict(), "WORKERS": 2, "WORKERS_MODE": "process"})
+        got = list(MultiviewWebDataset(cfgp, data_preset=DATA_PRESET))
+        assert len(got) == len(ref)
+        for a, b in zip(ref, got):
+            assert a["__key__"] == b["__key__"]
+            np.testing.assert_array_equal(a["image"], b["image"])
+            np.testing.assert_allclose(a["target_cam_extr"], b["target_cam_extr"], atol=0)
+        # random-view sampling: process pool == thread pool (same seeds)
+        cfgr_t = Config({**ds_cfg(shard, random_n_views=True).to_dict(), "WORKERS": 2})
+        cfgr_p = Config({**cfgr_t.to_dict(), "WORKERS_MODE": "process"})
+        rt = [s["image"].shape for s in MultiviewWebDataset(cfgr_t, data_preset=DATA_PRESET)]
+        rp = [s["image"].shape for s in MultiviewWebDataset(cfgr_p, data_preset=DATA_PRESET)]
+        assert rt == rp
+
     def test_aug_keeps_projection_consistent(self, tmp_path):
         """After rotation aug, K' = affine_postrot@K and rotated 3D labels
         must still project onto the warped 2D joints."""
