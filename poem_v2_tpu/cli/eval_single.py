@@ -57,7 +57,16 @@ DATASET_META = {
 MODEL_SIZES = {"small": 128, "medium": 256, "large": 512, "huge": 1024, "medium_MANO": 256}
 
 
-def build_eval_cfg(dataset: str, model_size: str, reload_path: str, view_range=None) -> Config:
+def build_eval_cfg(dataset: str, model_size: str, reload_path: str, view_range=None,
+                   urls=None, epoch_size=None, model_overrides=None) -> Config:
+    """Build the pinned per-dataset eval config.
+
+    ``urls`` / ``epoch_size`` override the shard location (protocol
+    semantics — view ranges, transforms, model wiring — stay pinned);
+    ``model_overrides`` merges a dict over cfg.MODEL (the six-protocol
+    contract test shrinks the model with it to drive every dataset chain
+    on CPU). The released tiers never pass any of the three.
+    """
     meta = DATASET_META[dataset]
     embed = MODEL_SIZES[model_size]
     parametric = model_size.endswith("_MANO")
@@ -129,6 +138,12 @@ def build_eval_cfg(dataset: str, model_size: str, reload_path: str, view_range=N
             },
         }
     )
+    if urls is not None:
+        cfg.DATASET.TEST.URLS = urls
+    if epoch_size is not None:
+        cfg.DATASET.TEST.EPOCH_SIZE = int(epoch_size)
+    if model_overrides:
+        cfg.MODEL.merge(model_overrides)
     return cfg
 
 

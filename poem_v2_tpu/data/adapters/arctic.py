@@ -99,6 +99,9 @@ class Arctic(HDataset):
 
     def get_sample_identifier(self, idx):
         imgname = self.load_sample(idx).get("imgname", str(idx))
+        # strip the image extension: wds tar keys are everything before
+        # the FIRST dot, so a dotted key breaks the key/suffix split
+        imgname = os.path.splitext(imgname)[0]
         sid_seq_cam_img = "_".join(imgname.split("/")[-4:])
         return f"{self.name}_{sid_seq_cam_img}"
 

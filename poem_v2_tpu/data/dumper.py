@@ -54,6 +54,10 @@ class ShardDumper:
     def add_sample(self, key: str, images: Iterable[np.ndarray], label: Dict) -> None:
         """images: iterable of (H, W, 3) uint8 RGB; label: per-view lists dict."""
         assert cv2 is not None, "cv2 required to encode shard images"
+        # tar-layout contract: the sample key is everything before the
+        # FIRST dot of a member name, so dotted keys would corrupt the
+        # key/suffix split on read — sanitize deterministically
+        key = key.replace(".", "_")
         if self._tar is None or self._count_in_shard >= self.samples_per_shard:
             self._open_next()
         for i, img in enumerate(images):
