@@ -110,7 +110,8 @@ def _build_chain(name, tmp_path):
     raise KeyError(name)
 
 
-def _run_protocol(name, tmp_path, monkeypatch, eval_extra="auc"):
+def _run_protocol(name, tmp_path, monkeypatch, eval_extra="auc",
+                  model_size="small"):
     from poem_v2_tpu.cli import eval as eval_cli
     from poem_v2_tpu.cli.eval_single import DATASET_META, build_eval_cfg
     from poem_v2_tpu.data.dumper import dump_dataset
@@ -132,8 +133,16 @@ def _run_protocol(name, tmp_path, monkeypatch, eval_extra="auc"):
     else:
         urls = str(tar_dir / shards[0])
 
-    cfg = build_eval_cfg(name, "small", reload_path="", urls=urls,
-                         epoch_size=n, model_overrides=TINY_MODEL)
+    overrides = dict(TINY_MODEL)
+    if model_size.endswith("_MANO"):
+        # keep the parametric branch the size table enables
+        overrides = {**TINY_MODEL, "HEAD": {
+            **TINY_MODEL["HEAD"],
+            "TRANSFORMER": {**TINY_MODEL["HEAD"]["TRANSFORMER"],
+                            "PARAMETRIC_OUTPUT": True},
+        }}
+    cfg = build_eval_cfg(name, model_size, reload_path="", urls=urls,
+                         epoch_size=n, model_overrides=overrides)
     cfg.DATA_PRESET.IMAGE_SIZE = [64, 64]
     cfg.TRAIN.BATCH_SIZE = 2
 
@@ -178,3 +187,11 @@ def test_eval_protocol_end_to_end(name, tmp_path, monkeypatch):
 
 def test_eval_protocol_draw_artifacts(tmp_path, monkeypatch):
     _run_protocol("DexYCB", tmp_path, monkeypatch, eval_extra="draw")
+
+
+def test_eval_protocol_parametric_mano(tmp_path, monkeypatch):
+    """The medium_MANO tier's eval chain (reference eval_single.py:74-86):
+    PARAMETRIC_OUTPUT routes the decoder's final block through the
+    106-param MANO branch; the released protocol pairs it with OakInk."""
+    _run_protocol("Oakink", tmp_path, monkeypatch, eval_extra="auc",
+                  model_size="medium_MANO")
