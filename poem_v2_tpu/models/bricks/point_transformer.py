@@ -182,7 +182,12 @@ class PtSelfAttnBlock(nn.Module):
             # gather the shared fc1 activations ONCE, then run the k/v
             # projections on the gathered (M, K, D) tensor — (M*K)/N more
             # dense FLOPs (free on the MXU) for half the gather traffic.
-            x_g = index_points(x, idx)
+            # index_points_mxu: same forward gather, but the backward is
+            # the one-hot-matmul MXU scatter instead of XLA's serial
+            # scatter-add (exact for bf16 grads; ops/pallas_scatter.py)
+            from ...ops.pallas_scatter import index_points_mxu
+
+            x_g = index_points_mxu(x, idx)
             k_g = w_ks(x_g)
             v_g = w_vs(x_g)
 
@@ -273,8 +278,11 @@ class PtCrossAttnBlock(nn.Module):
             _, idx, local_xyz = knn_points(query_xyz, xyz, self.k, approx=self.approx_knn)
             # one gather of the shared fc1 activations, then project the
             # gathered tensor — half the HBM gather traffic (see
-            # PtSelfAttnBlock; gathers measured ~25 GB/s on v5e)
-            x_g = index_points(x_full, idx)
+            # PtSelfAttnBlock; gathers measured ~25 GB/s on v5e); MXU
+            # one-hot-matmul backward (ops/pallas_scatter.py)
+            from ...ops.pallas_scatter import index_points_mxu
+
+            x_g = index_points_mxu(x_full, idx)
             k_g = w_ks(x_g)
             v_g = w_vs(x_g)
 

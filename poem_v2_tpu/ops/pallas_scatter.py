@@ -67,6 +67,13 @@ def scatter_add_rows(
     scatter-add but spelled as per-chunk one-hot matmuls (MXU) with the
     one-hot built in VMEM. f32 accumulation regardless of grads dtype.
 
+    Precision: the one-hot entries are exact in any float dtype, so with
+    bf16 grads (the training path) the MXU products are exact and the
+    f32 accumulation makes the scatter bit-faithful. With f32 grads on
+    TPU the MXU's default f32 matmul decomposition rounds products to
+    ~1e-3 relative — matching XLA's own matmul precision, not the serial
+    scatter's exactness.
+
     VMEM capacity: the full (n_pad, D) f32 output block stays resident
     (n_pad = n_rows rounded to 128) and each chunk adds a
     (chunk_m*K, n_pad) one-hot + (chunk_m*K, D) grads tile — all linear
