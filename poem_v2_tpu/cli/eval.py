@@ -23,6 +23,9 @@ from .opt import parse_exp_args
 
 def main(argv=None):
     args = parse_exp_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     cfg = get_config(args.cfg, arg=args, merge=True)
     logger = get_logger()
 

@@ -32,6 +32,9 @@ FIXED_FEED_CACHE_CAP_BYTES = 4e9
 
 def main(argv=None):
     args = parse_exp_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     if getattr(args, "multihost", False):
         # multi-host SPMD: one process per host, JAX runtime forms the mesh
         jax.distributed.initialize()

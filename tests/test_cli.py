@@ -126,3 +126,27 @@ def test_train_cli_fixed_set_device_cache_equivalence(tmp_path, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(lc), np.asarray(ls), atol=5e-3, rtol=0
         )
+
+
+def test_persistent_compile_cache_helper(tmp_path, monkeypatch):
+    """enable_persistent_cache pins the repo-local .jax_cache dir (the
+    CLIs reuse bench.py's cache so --resume relaunches skip the
+    multi-minute tunneled compile); POEM_NO_COMPILE_CACHE opts out."""
+    import jax
+
+    from poem_v2_tpu.utils.compile_cache import enable_persistent_cache
+
+    monkeypatch.delenv("POEM_NO_COMPILE_CACHE", raising=False)
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        path = enable_persistent_cache(root=str(tmp_path))
+        assert path == str(tmp_path / ".jax_cache")
+        assert os.path.isdir(path)
+        assert jax.config.jax_compilation_cache_dir == path
+
+        monkeypatch.setenv("POEM_NO_COMPILE_CACHE", "1")
+        assert enable_persistent_cache(root=str(tmp_path)) is None
+        # opt-out leaves the prior setting untouched
+        assert jax.config.jax_compilation_cache_dir == path
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
