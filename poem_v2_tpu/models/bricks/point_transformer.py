@@ -81,6 +81,25 @@ def _mlp_params(module: nn.Module, name: str, d_in: int, d_model: int):
     return w1, b1, w2, b2
 
 
+def _gather_shared(x, idx):
+    """Row-gather of the shared fc1 activations with the right backward.
+
+    bf16 activations (the TPU training path) take ``index_points_mxu``:
+    the backward scatters via per-chunk one-hot matmuls in VMEM instead
+    of XLA's serial HBM scatter-add (~3.9 ms per flagship instance), and
+    bf16 grads make the MXU products exact. f32 activations keep the
+    plain XLA gather/scatter pair: the one-hot matmul would round f32
+    grads at the MXU's ~1e-3 matmul precision, which breaks the
+    bit-level cross-mesh gates (dp8 == single-device in
+    __graft_entry__.dryrun_multichip) for no training-path benefit.
+    """
+    if x.dtype == jnp.bfloat16:
+        from ...ops.pallas_scatter import index_points_mxu
+
+        return index_points_mxu(x, idx)
+    return index_points(x, idx)
+
+
 def _run_vector_attention(q, k_g, v_g, delta, fc_delta, fc_gamma, use_fused, dtype):
     fc_delta = tuple(p.astype(dtype) for p in fc_delta)
     fc_gamma = tuple(p.astype(dtype) for p in fc_gamma)
@@ -182,12 +201,7 @@ class PtSelfAttnBlock(nn.Module):
             # gather the shared fc1 activations ONCE, then run the k/v
             # projections on the gathered (M, K, D) tensor — (M*K)/N more
             # dense FLOPs (free on the MXU) for half the gather traffic.
-            # index_points_mxu: same forward gather, but the backward is
-            # the one-hot-matmul MXU scatter instead of XLA's serial
-            # scatter-add (exact for bf16 grads; ops/pallas_scatter.py)
-            from ...ops.pallas_scatter import index_points_mxu
-
-            x_g = index_points_mxu(x, idx)
+            x_g = _gather_shared(x, idx)
             k_g = w_ks(x_g)
             v_g = w_vs(x_g)
 
@@ -278,11 +292,8 @@ class PtCrossAttnBlock(nn.Module):
             _, idx, local_xyz = knn_points(query_xyz, xyz, self.k, approx=self.approx_knn)
             # one gather of the shared fc1 activations, then project the
             # gathered tensor — half the HBM gather traffic (see
-            # PtSelfAttnBlock; gathers measured ~25 GB/s on v5e); MXU
-            # one-hot-matmul backward (ops/pallas_scatter.py)
-            from ...ops.pallas_scatter import index_points_mxu
-
-            x_g = index_points_mxu(x_full, idx)
+            # PtSelfAttnBlock; gathers measured ~25 GB/s on v5e)
+            x_g = _gather_shared(x_full, idx)
             k_g = w_ks(x_g)
             v_g = w_vs(x_g)
 

@@ -741,3 +741,43 @@ def test_index_points_mxu_grads_match_xla_gather():
     g_xla = jax.grad(lambda p: jnp.sum(index_points(p, idx) * ct))(pts)
     np.testing.assert_allclose(np.asarray(g_mxu), np.asarray(g_xla),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_gather_shared_dtype_gating(monkeypatch):
+    """The shared-activation gather takes the MXU one-hot backward only
+    for bf16 activations (exact for bf16 grads); f32 keeps the XLA
+    gather/scatter pair bit-exact — the dp8==single-device cross-mesh
+    gate in __graft_entry__ depends on it (f32 one-hot matmuls round at
+    the MXU's ~1e-3, which leaked ~1.5e-5 into the gate's loss)."""
+    import poem_v2_tpu.models.bricks.point_transformer as pt
+
+    rs = np.random.RandomState(3)
+    pts32 = jnp.asarray(rs.randn(2, 16, 8).astype(np.float32))
+    idx = jnp.asarray(rs.randint(0, 16, size=(2, 5, 3)).astype(np.int32))
+
+    calls = []
+    import poem_v2_tpu.ops.pallas_scatter as ps
+
+    real = ps.index_points_mxu
+
+    def spy(points, idx_, interpret=False):
+        calls.append(points.dtype)
+        return real(points, idx_, True)
+
+    monkeypatch.setattr(ps, "index_points_mxu", spy)
+
+    out32 = pt._gather_shared(pts32, idx)
+    assert calls == []  # f32 stays on the XLA pair
+    np.testing.assert_array_equal(
+        np.asarray(out32), np.asarray(pt.index_points(pts32, idx)))
+
+    out16 = pt._gather_shared(pts32.astype(jnp.bfloat16), idx)
+    assert calls == [jnp.bfloat16]
+    np.testing.assert_array_equal(
+        np.asarray(out16.astype(jnp.float32)),
+        np.asarray(pt.index_points(pts32.astype(jnp.bfloat16), idx).astype(jnp.float32)))
+
+    # f32 grads through the gather are the exact XLA scatter
+    g = jax.grad(lambda p: jnp.sum(pt._gather_shared(p, idx) ** 2))(pts32)
+    g_ref = jax.grad(lambda p: jnp.sum(pt.index_points(p, idx) ** 2))(pts32)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(g_ref))
