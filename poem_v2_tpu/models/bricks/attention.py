@@ -87,6 +87,12 @@ class MultiHeadCrossAttention(nn.Module):
                 q.reshape(B, Q, h), k.reshape(B, N, h), v.reshape(B, N, h),
                 num_heads=nh, sm_scale=1.0 / float(hd) ** 0.5,
             ).astype(self.dtype)
+            # saved across the decoder remat boundary ((B, Q, h) bf16) so
+            # the backward's block replay skips re-running the dense
+            # Pallas kernel (decoder.py remat policy)
+            from jax.ad_checkpoint import checkpoint_name
+
+            ctx = checkpoint_name(ctx, "dense_attn_out")
         else:
             logits = jnp.einsum("bqhd,bnhd->bhqn", q, k) / jnp.sqrt(hd).astype(self.dtype)
             if kv_mask is not None:

@@ -24,6 +24,7 @@ from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ...ops.pallas_vector_attn import fused_vector_attention, vector_attention_reference
 from ...ops.points import index_points, knn_points
@@ -154,6 +155,12 @@ class PtSelfAttnBlock(nn.Module):
                     tuple(p.astype(self.dtype) for p in fc_gamma),
                     self.k, bq, cj, False,
                 )
+                # saved across the decoder remat boundary ((B, M, D) bf16,
+                # ~3.4 MB/instance) so the backward's block replay skips
+                # re-running the fused Pallas kernel (measured 5.6 ms per
+                # cross instance on v5e — the replay was half the kernel's
+                # train-step cost; decoder.py remat policy)
+                res = checkpoint_name(res, "knn_attn_out")
             else:
                 from ...ops.pallas_knn_attn import fused_knn_vector_attention
 
@@ -254,6 +261,8 @@ class PtCrossAttnBlock(nn.Module):
                     tuple(p.astype(self.dtype) for p in fc_gamma),
                     self.k, bq, cj, False,
                 )
+                # see PtSelfAttnBlock: saved across the remat boundary
+                res = checkpoint_name(res, "knn_attn_out")
             else:
                 from ...ops.pallas_knn_attn import fused_knn_vector_attention
 

@@ -231,12 +231,21 @@ class PtEmbedDecoder(nn.Module):
         use_remat = self.remat and not deterministic
         # save the named KNN indices across the remat boundary (int32,
         # (B, M, K) — a few hundred KB) so the backward's block replay
-        # skips the (B, M, N) distance matmuls + top-k selections; every
-        # other intermediate is still recomputed
+        # skips the (B, M, N) distance matmuls + top-k selections, plus
+        # the Pallas kernel OUTPUTS ((B, M, D) bf16, a few MB per block):
+        # the fused KNN / dense-attention custom calls were measured as
+        # the top train-step ops (5.6 / 2.2 / 1.1 ms per instance on
+        # v5e) and replaying them under plain remat doubled their cost —
+        # 251.1 -> 231.2 ms/step flagship with the outputs saved, vs
+        # 229.8 for no remat at all. Every other intermediate (the
+        # (B, N, D) cloud tensors, MLPs, norms) is still recomputed, so
+        # the activation-memory story stays ~that of full remat.
         block_cls = (
             nn.remat(
                 PointMetroBlock,
-                policy=jax.checkpoint_policies.save_only_these_names("knn_idx"),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "knn_idx", "knn_attn_out", "dense_attn_out"
+                ),
             )
             if use_remat
             else PointMetroBlock

@@ -975,11 +975,19 @@ def knn_vector_attention_trainable(
 
 def _trainable_fwd(q, query_xyz, pt_xyz, x_full, wk, wv, fc_delta, fc_gamma,
                    n_neighbor, block_q, chunk_j, interpret):
+    from jax.ad_checkpoint import checkpoint_name
+
     out, idx = fused_knn_vector_attention(
         q, query_xyz, pt_xyz, x_full, wk, wv, fc_delta, fc_gamma,
         n_neighbor=n_neighbor, block_q=block_q, chunk_j=chunk_j,
         return_idx=True, interpret=interpret,
     )
+    # both kernel outputs are named for the decoder's remat policy: the
+    # idx residual is what the backward actually consumes — leaving it
+    # unnamed forced the block replay to re-run the whole fused kernel
+    # just to regenerate it (measured: 248.8 vs 251.1 ms/step flagship
+    # with only the attention output saved)
+    idx = checkpoint_name(idx, "knn_idx")
     return out, (q, query_xyz, pt_xyz, x_full, wk, wv, fc_delta, fc_gamma, idx)
 
 

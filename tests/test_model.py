@@ -392,3 +392,57 @@ def test_adapt_pos3d_factored_equals_conv_on_concat():
         ref = fnn.Conv(C, (1, 1)).apply({"params": params["params"]}, full)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5, rtol=1e-5)
+
+
+def test_decoder_remat_policy_grads_match_no_remat(monkeypatch):
+    """The remat policy (saving knn_idx / knn_attn_out / dense_attn_out
+    across the block boundary) must not change the math: train-mode
+    value+grads with remat==True equal remat==False exactly. Runs the
+    fused trainable KNN + flash-train dense path (interpret mode) so the
+    named Pallas outputs are actually on the remat boundary."""
+    import poem_v2_tpu.ops.pallas_knn_attn as pk
+    import poem_v2_tpu.ops.pallas_cross_attn as pc
+    from poem_v2_tpu.models.decoder import PtEmbedDecoder
+
+    for mod, name in ((pk, "fused_knn_vector_attention"),
+                      (pc, "dense_cross_attention")):
+        orig = getattr(mod, name)
+
+        def interp(*a, _orig=orig, **kw):
+            kw["interpret"] = True
+            return _orig(*a, **kw)
+
+        monkeypatch.setattr(mod, name, interp)
+
+    rs = np.random.RandomState(11)
+    B, M, N, D = 1, 24, 48, 32
+    args = (
+        jnp.asarray(rs.randn(B, M, 3).astype(np.float32) * 0.3),
+        jnp.asarray(rs.randn(B, M, D).astype(np.float32)),
+        jnp.asarray(rs.randn(B, N, 3).astype(np.float32) * 0.3),
+        jnp.asarray(rs.randn(B, N, D).astype(np.float32)),
+    )
+
+    def build(remat):
+        return PtEmbedDecoder(
+            n_blocks=2, hidden_size=D, num_heads=4, dropout=0.0,
+            n_neighbor=4, n_neighbor_query=4, remat=remat,
+            use_fused_knn=True, use_fused_knn_train=True,
+            use_flash=True, use_flash_train=True)
+
+    variables = build(True).init(jax.random.PRNGKey(0), *args)
+
+    def loss(dec, v):
+        coords, _, _ = dec.apply(v, *args, deterministic=False,
+                                 rngs={"dropout": jax.random.PRNGKey(1)})
+        return sum(jnp.sum(c ** 2) for c in coords)
+
+    val_r, g_r = jax.value_and_grad(lambda v: loss(build(True), v))(variables)
+    val_n, g_n = jax.value_and_grad(lambda v: loss(build(False), v))(variables)
+    # identical math, but remat and no-remat compile to differently-fused
+    # graphs, so expect ULP-scale drift only
+    np.testing.assert_allclose(float(val_r), float(val_n), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_r),
+                    jax.tree_util.tree_leaves(g_n)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6)
