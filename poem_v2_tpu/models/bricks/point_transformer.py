@@ -59,13 +59,19 @@ def _fused_block_config(n_points: int, k: int, d_model: int = 256):
     BPS cloud (14.5 vs 16.1 ms at the old (32, 8)). chunk_j must divide
     the neighbour count, so it is clamped to the largest divisor of k.
 
-    Wide tiers shrink the query tile: the kernel's live f32 attention
-    intermediates scale as K*block_q*d_model, and at D=1024 a 128-query
-    tile spills ~148 MB of vregs past the 128 MB scoped-VMEM budget
-    (huge-tier compile failure, round 4); a 32-query tile fits."""
-    bq, cj = (128, 32) if n_points <= 1024 else (64, 16)
+    Wide tiers (large/huge, D=512/1024) come from the round-5 sweep
+    (scripts/bench_tier_tiles.py, 799 q x {4096 cross, 799 self}, K=32,
+    B16 v5e): the round-4 VMEM clamp to block_q=32 at D>=1024 was
+    near-optimal for the cross shape ((32,8): 49.3 ms vs the clamp's
+    (32,16): 50.9) but left 9-12%% on the self shape, which prefers a
+    64-query tile ((64,8): 31.6 vs 34.6 ms at D=1024; (64,32): 11.4 vs
+    12.8 ms at D=512). Full matrix in docs/performance.md."""
     if d_model >= 1024:
-        bq = 32
+        bq, cj = (64, 8) if n_points <= 1024 else (32, 8)
+    elif d_model >= 512:
+        bq, cj = (64, 32) if n_points <= 1024 else (32, 32)
+    else:
+        bq, cj = (128, 32) if n_points <= 1024 else (64, 16)
     cj = min(cj, k)
     while k % cj:
         cj -= 1
